@@ -1,0 +1,167 @@
+"""Pinned unit-cost edit-distance DP — the ``libmaus2::lcs::NP`` analog.
+
+Reference: libmaus2 ``src/libmaus2/lcs/NP.hpp`` (O(nd) diagonal aligner with
+traceback; SURVEY §2.2).  We pin plain unit-cost Levenshtein with the
+tie-broken traceback of ALGORITHM.md §1 (preference D > U > L); the reference's
+O(nd) algorithm computes the same distance, and traceback ties are pinned by
+*this* implementation (SURVEY §7.3 item 1: equality is defined against the
+in-repo oracle).
+
+Everything here is integer NumPy; the batched forms are the host-side
+vectorized replacements for the reference's per-block C++ loops and serve as
+the CPU oracle for the Pallas device kernels (tests/test_editdp.py).
+
+Sequences are uint8 base codes 0..3; PAD=4 never matches anything (including
+itself), so padded tails cannot create spurious matches.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+PAD = 4
+BP_DIAG, BP_UP, BP_LEFT = 0, 1, 2
+
+
+def edit_table(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Full (la+1, lb+1) DP table. Plain-loop reference semantics."""
+    la, lb = len(a), len(b)
+    D = np.zeros((la + 1, lb + 1), dtype=np.int32)
+    D[0, :] = np.arange(lb + 1)
+    D[:, 0] = np.arange(la + 1)
+    for i in range(1, la + 1):
+        sub = (a[i - 1] != b).astype(np.int32)  # [lb]
+        row = D[i]
+        prev = D[i - 1]
+        tmp = np.minimum(prev[:-1] + sub, prev[1:] + 1)
+        # left-dependency as running min: row[j] = min(row[j-1]+1, tmp[j-1-based])
+        acc = np.minimum.accumulate(
+            np.concatenate([[np.int32(i)], tmp]) - np.arange(lb + 1, dtype=np.int32))
+        row[:] = acc + np.arange(lb + 1, dtype=np.int32)
+    return D
+
+
+def edit_distance(a: np.ndarray, b: np.ndarray) -> int:
+    return int(edit_table(a, b)[len(a), len(b)])
+
+
+def traceback_bpos(a: np.ndarray, b: np.ndarray) -> Tuple[int, np.ndarray]:
+    """(distance, bpos[la+1]) with bpos[x] = min{ j : (x, j) on pinned path }."""
+    D = edit_table(a, b)
+    la, lb = len(a), len(b)
+    i, j = la, lb
+    bpos = np.zeros(la + 1, dtype=np.int64)
+    bpos[la] = lb
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + (a[i - 1] != b[j - 1]):
+            i, j = i - 1, j - 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            i, j = i - 1, j
+        else:
+            j -= 1
+        bpos[i] = j
+    return int(D[la, lb]), bpos
+
+
+# ---------------------------------------------------------------------------
+# Batched distance (no traceback): scoring candidates vs pile strings
+# ---------------------------------------------------------------------------
+
+def batch_edit_distance(A: np.ndarray, la: np.ndarray,
+                        B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Edit distance for N padded pairs.
+
+    A: uint8 [N, LA] (PAD beyond la), la: int [N]; likewise B/lb.
+    Returns int32 [N].  Matches ``edit_distance`` on the unpadded prefixes:
+    rows beyond la only ever add +1/step and the result is read at (la, lb).
+    """
+    A = np.asarray(A, dtype=np.uint8)
+    B = np.asarray(B, dtype=np.uint8)
+    N, LA = A.shape
+    LB = B.shape[1]
+    jr = np.arange(LB + 1, dtype=np.int32)
+    prev = np.broadcast_to(jr, (N, LB + 1)).copy()
+    out = np.where(la == 0, lb.astype(np.int32), 0).astype(np.int32)
+    for i in range(1, LA + 1):
+        sub = (A[:, i - 1:i] != B).astype(np.int32)        # [N, LB]
+        tmp = np.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+        head = np.full((N, 1), i, dtype=np.int32)
+        acc = np.minimum.accumulate(np.concatenate([head, tmp], axis=1) - jr, axis=1)
+        prev = acc + jr
+        hit = la == i
+        if hit.any():
+            out[hit] = prev[hit, lb[hit]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched alignment with traceback: trace-block realignment (HOT LOOP 1)
+# ---------------------------------------------------------------------------
+
+def batch_realign(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray,
+                  want_ops: bool = False):
+    """Batched DP + pinned traceback for N padded problems.
+
+    Returns (dist[N] int32, bpos[N, LA+1] int64, ops) where bpos[n, x] is the
+    pinned A->B position map of ALGORITHM.md §1 for x <= la[n] (undefined
+    beyond), and ops (if want_ops) is int64 [N, 4] counts of
+    (match, mismatch, A-only 'U', B-only 'L') traceback steps.
+
+    This is the host-side replacement for the reference's per-trace-block
+    ``libmaus2::lcs::NP`` realignment loop (SURVEY §3.1 HOT LOOP 1): one call
+    realigns every trace block of a pile at once.
+    """
+    A = np.asarray(A, dtype=np.uint8)
+    B = np.asarray(B, dtype=np.uint8)
+    la = np.asarray(la, dtype=np.int64)
+    lb = np.asarray(lb, dtype=np.int64)
+    N, LA = A.shape
+    LB = B.shape[1]
+    jr = np.arange(LB + 1, dtype=np.int32)
+    D = np.empty((N, LA + 1, LB + 1), dtype=np.int32)
+    D[:, 0, :] = jr
+    for i in range(1, LA + 1):
+        prev = D[:, i - 1, :]
+        sub = (A[:, i - 1:i] != B).astype(np.int32)
+        tmp = np.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+        head = np.full((N, 1), i, dtype=np.int32)
+        acc = np.minimum.accumulate(np.concatenate([head, tmp], axis=1) - jr, axis=1)
+        D[:, i, :] = acc + jr
+
+    n_idx = np.arange(N)
+    dist = D[n_idx, la, lb].astype(np.int32)
+
+    # vectorized traceback: all N paths walk together
+    i = la.copy()
+    j = lb.copy()
+    bpos = np.zeros((N, LA + 1), dtype=np.int64)
+    bpos[n_idx, la] = lb
+    ops = np.zeros((N, 4), dtype=np.int64)
+    max_steps = LA + LB
+    for _ in range(max_steps):
+        active = (i > 0) | (j > 0)
+        if not active.any():
+            break
+        ii = np.maximum(i, 1)
+        jj = np.maximum(j, 1)
+        ach = A[n_idx, ii - 1]
+        bch = B[n_idx, jj - 1]
+        subc = (ach != bch).astype(np.int32)
+        cur = D[n_idx, i, j]
+        can_diag = (i > 0) & (j > 0) & (cur == D[n_idx, ii - 1, jj - 1] + subc)
+        can_up = (i > 0) & (cur == D[n_idx, ii - 1, j] + 1)
+        step_diag = active & can_diag
+        step_up = active & ~can_diag & can_up
+        step_left = active & ~can_diag & ~can_up
+        if want_ops:
+            ops[:, 0] += step_diag & (subc == 0)
+            ops[:, 1] += step_diag & (subc == 1)
+            ops[:, 2] += step_up
+            ops[:, 3] += step_left
+        i = i - (step_diag | step_up)
+        j = j - (step_diag | step_left)
+        upd = active
+        bpos[n_idx[upd], i[upd]] = j[upd]
+    return dist, bpos, (ops if want_ops else None)

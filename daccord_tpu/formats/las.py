@@ -1,0 +1,191 @@
+"""daligner .las overlap file reader / writer / indexer.
+
+Byte layout per SURVEY Appendix A.2 (public DALIGNER ``align.h`` structs,
+x86-64):
+
+  header:  int64 novl; int32 tspace
+  record:  the Overlap struct minus its leading trace pointer, i.e.
+           int32 tlen, diffs, abpos, bbpos, aepos, bepos; uint32 flags;
+           int32 aread, bread; 4 bytes tail padding  (40 bytes total,
+           = sizeof(Overlap) - sizeof(void*) with natural alignment)
+           then the trace: tlen x uint8 when tspace <= 125 ("small"), else
+           tlen x uint16.
+
+Trace semantics: tlen/2 pairs (d_j, b_j), one per A interval between successive
+multiples of tspace clipped to [abpos, aepos): d_j = #diffs, b_j = #B bases.
+Invariant (LAcheck analog, SURVEY §4): sum(b_j) == bepos - bbpos.
+
+Flags: bit 0 = COMP (B read reverse-complemented; bbpos/bepos count on the RC
+strand).  Unknown bits are preserved.
+
+The sidecar index (aread -> first-record file offset + count) is our
+``OverlapIndexer`` analog (SURVEY §2.2), stored as ``<las>.npz`` on first use.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+FLAG_COMP = 0x1
+RECORD_FIXED = 40  # bytes before the trace data
+_REC = struct.Struct("<iiiiiiIii4x")
+assert _REC.size == RECORD_FIXED
+
+
+@dataclass
+class Overlap:
+    """One .las record (the libmaus2 ``Overlap`` analog)."""
+
+    aread: int
+    bread: int
+    flags: int
+    abpos: int
+    aepos: int
+    bbpos: int
+    bepos: int
+    diffs: int
+    trace: np.ndarray  # int32 [nblocks, 2] columns (d_j, b_j)
+
+    @property
+    def is_comp(self) -> bool:
+        return bool(self.flags & FLAG_COMP)
+
+    def check(self, alen: Optional[int] = None, blen: Optional[int] = None) -> None:
+        """LAcheck-style invariants (SURVEY §4 item 1)."""
+        assert 0 <= self.abpos < self.aepos, (self.abpos, self.aepos)
+        assert 0 <= self.bbpos < self.bepos, (self.bbpos, self.bepos)
+        if alen is not None:
+            assert self.aepos <= alen
+        if blen is not None:
+            assert self.bepos <= blen
+        assert int(self.trace[:, 1].sum()) == self.bepos - self.bbpos
+
+
+def n_trace_blocks(abpos: int, aepos: int, tspace: int) -> int:
+    """Number of trace blocks for A range [abpos, aepos) with spacing tspace."""
+    return (aepos + tspace - 1) // tspace - abpos // tspace
+
+
+def trace_block_bounds(abpos: int, aepos: int, tspace: int) -> np.ndarray:
+    """A-coordinate boundaries of the trace blocks: int array [nblocks+1]."""
+    first = (abpos // tspace + 1) * tspace
+    inner = np.arange(first, aepos, tspace, dtype=np.int64)
+    return np.concatenate([[abpos], inner, [aepos]])
+
+
+def write_las(path: str, tspace: int, overlaps: Sequence[Overlap]) -> None:
+    """Write a .las file. Records must already be sorted by (aread, bread, ...)."""
+    small = tspace <= 125
+    with open(path, "wb") as f:
+        f.write(struct.pack("<qi", len(overlaps), tspace))
+        for o in overlaps:
+            tr = np.asarray(o.trace, dtype=np.int64).reshape(-1, 2)
+            flat = tr.reshape(-1)
+            tlen = flat.size
+            f.write(_REC.pack(tlen, o.diffs, o.abpos, o.bbpos,
+                              o.aepos, o.bepos, o.flags, o.aread, o.bread))
+            if small:
+                if flat.size and flat.max() > 255:
+                    raise ValueError("trace value exceeds u8 in small-trace regime")
+                f.write(flat.astype(np.uint8).tobytes())
+            else:
+                f.write(flat.astype("<u2").tobytes())
+
+
+@dataclass
+class LasFile:
+    """Streaming .las reader with an aread-keyed random access index."""
+
+    path: str
+    novl: int
+    tspace: int
+    small: bool
+    _index: Optional[dict] = field(default=None, repr=False)
+
+    @classmethod
+    def open(cls, path: str) -> "LasFile":
+        with open(path, "rb") as f:
+            novl, tspace = struct.unpack("<qi", f.read(12))
+        return cls(path=path, novl=novl, tspace=tspace, small=tspace <= 125)
+
+    # -- streaming ---------------------------------------------------------
+    def __iter__(self) -> Iterator[Overlap]:
+        with open(self.path, "rb") as f:
+            f.seek(12)
+            for _ in range(self.novl):
+                yield self._read_record(f)
+
+    def _read_record(self, f) -> Overlap:
+        buf = f.read(RECORD_FIXED)
+        tlen, diffs, abpos, bbpos, aepos, bepos, flags, aread, bread = _REC.unpack(buf)
+        if self.small:
+            tr = np.frombuffer(f.read(tlen), dtype=np.uint8)
+        else:
+            tr = np.frombuffer(f.read(2 * tlen), dtype="<u2")
+        return Overlap(aread=aread, bread=bread, flags=flags, abpos=abpos,
+                       aepos=aepos, bbpos=bbpos, bepos=bepos, diffs=diffs,
+                       trace=tr.astype(np.int32).reshape(-1, 2))
+
+    # -- indexing (OverlapIndexer analog) ----------------------------------
+    @property
+    def index_path(self) -> str:
+        return self.path + ".npz"
+
+    def build_index(self) -> dict:
+        """aread -> (file offset of first record, record count). Cached on disk."""
+        if self._index is not None:
+            return self._index
+        if os.path.exists(self.index_path) and (
+                os.path.getmtime(self.index_path) >= os.path.getmtime(self.path)):
+            z = np.load(self.index_path)
+            self._index = {"areads": z["areads"], "offsets": z["offsets"],
+                           "counts": z["counts"]}
+            return self._index
+        areads, offsets, counts = [], [], []
+        unit = 1 if self.small else 2
+        with open(self.path, "rb") as f:
+            f.seek(12)
+            pos = 12
+            prev = None
+            for _ in range(self.novl):
+                hdr = f.read(RECORD_FIXED)
+                tlen = struct.unpack_from("<i", hdr, 0)[0]
+                aread = struct.unpack_from("<i", hdr, 28)[0]
+                if aread != prev:
+                    areads.append(aread)
+                    offsets.append(pos)
+                    counts.append(0)
+                    prev = aread
+                counts[-1] += 1
+                f.seek(tlen * unit, 1)
+                pos += RECORD_FIXED + tlen * unit
+        self._index = {"areads": np.array(areads, dtype=np.int64),
+                       "offsets": np.array(offsets, dtype=np.int64),
+                       "counts": np.array(counts, dtype=np.int64)}
+        try:
+            np.savez(self.index_path, **self._index)
+        except OSError:
+            pass  # read-only dir: keep in-memory index
+        return self._index
+
+    def pile(self, aread: int) -> List[Overlap]:
+        """All records for the given aread, in file order (SURVEY §3.1
+        'pile loader')."""
+        idx = self.build_index()
+        where = np.searchsorted(idx["areads"], aread)
+        if where >= len(idx["areads"]) or idx["areads"][where] != aread:
+            return []
+        out = []
+        with open(self.path, "rb") as f:
+            f.seek(int(idx["offsets"][where]))
+            for _ in range(int(idx["counts"][where])):
+                out.append(self._read_record(f))
+        return out
+
+    def areads(self) -> np.ndarray:
+        return self.build_index()["areads"]

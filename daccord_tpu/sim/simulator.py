@@ -1,0 +1,185 @@
+"""Seeded read/pile simulator — the in-repo stand-in for DAZZ_DB + daligner.
+
+The reference consumes piles produced by the external daligner/DAZZ_DB C tools
+(SURVEY §2.3), which are not available in this environment; per SURVEY §4
+items 1 and 5 this module generates synthetic-but-format-exact fixtures:
+
+- a seeded random genome,
+- PacBio-like errorful reads from random positions/strands,
+- all-vs-all overlaps with exact trace points, derived by *composing* the known
+  read<->genome alignments through the genome (no aligner needed; trace
+  b-advances satisfy the LAcheck invariant by construction),
+- written through the real format writers (.db/.idx/.bps + .las).
+
+COMP semantics follow SURVEY A.2: when strands differ the B read is stored
+reverse-complemented in the record's coordinate frame and flag bit 0 is set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from daccord_tpu.formats.dazzler_db import write_db
+from daccord_tpu.formats.las import FLAG_COMP, Overlap, write_las
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    seed: int = 0
+    genome_len: int = 20_000
+    coverage: float = 10.0
+    read_len: Tuple[int, int] = (1_500, 2_500)  # uniform range
+    e_sub: float = 0.03
+    e_ins: float = 0.08
+    e_del: float = 0.04
+    min_overlap: int = 500
+    tspace: int = 100
+    circular: bool = False  # linear genome only (pinned)
+
+
+@dataclasses.dataclass
+class SimRead:
+    gstart: int           # genome interval [gstart, gend)
+    gend: int
+    strand: int           # 0 = forward, 1 = reverse
+    codes: np.ndarray     # stored read (strand applied), uint8 0..3
+    g2r: np.ndarray       # int64 [glen+1]: E-frame read bases consumed before
+                          # genome position gstart+i  (E = pre-strand errorful copy)
+    edits: np.ndarray     # int32 [glen]: #edits attributed to genome position i
+
+    @property
+    def rlen(self) -> int:
+        return len(self.codes)
+
+
+@dataclasses.dataclass
+class SimDataset:
+    cfg: SimConfig
+    genome: np.ndarray
+    reads: List[SimRead]
+    overlaps: List[Overlap]
+
+    def write(self, db_path: str, las_path: str) -> None:
+        write_db(db_path, [r.codes for r in self.reads])
+        write_las(las_path, self.cfg.tspace, self.overlaps)
+
+
+def _make_read(rng: np.random.Generator, genome: np.ndarray, cfg: SimConfig) -> SimRead:
+    G = len(genome)
+    lmin, lmax = cfg.read_len
+    glen = int(rng.integers(lmin, lmax + 1))
+    glen = min(glen, G)
+    gstart = int(rng.integers(0, G - glen + 1))
+    seg = genome[gstart:gstart + glen]
+
+    dele = rng.random(glen) < cfg.e_del
+    sub = (rng.random(glen) < cfg.e_sub) & ~dele
+    ins = rng.random(glen) < cfg.e_ins
+    subdelta = rng.integers(1, 4, size=glen).astype(np.uint8)
+    insbase = rng.integers(0, 4, size=glen).astype(np.uint8)
+
+    emitted = np.where(sub, (seg + subdelta) % 4, seg).astype(np.uint8)
+    keep = ~dele
+    counts = keep.astype(np.int64) + ins.astype(np.int64)
+    start = np.concatenate([[0], np.cumsum(counts)])  # len glen+1; start[i] = E bases before pos i
+    total = int(start[-1])
+    E = np.zeros(total, dtype=np.uint8)
+    E[start[:-1][keep]] = emitted[keep]
+    ins_at = start[:-1] + keep.astype(np.int64)
+    E[ins_at[ins]] = insbase[ins]
+
+    strand = int(rng.integers(0, 2))
+    codes = E if strand == 0 else (3 - E[::-1]).astype(np.uint8)
+    edits = (dele.astype(np.int32) + sub.astype(np.int32) + ins.astype(np.int32))
+    return SimRead(gstart=gstart, gend=gstart + glen, strand=strand,
+                   codes=codes, g2r=start, edits=edits)
+
+
+def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int):
+    """(a_t, b_t, abpos, bbpos) over boundaries t=0..L in A's direction."""
+    L = hi - lo
+
+    def rE(read: SimRead, g):
+        return read.g2r[np.asarray(g) - read.gstart]
+
+    if A.strand == 0:
+        gb = lo + np.arange(L + 1)
+        a_t = rE(A, gb) - int(rE(A, lo))
+        abpos = int(rE(A, lo))
+    else:
+        gb = hi - np.arange(L + 1)
+        a_t = int(rE(A, hi)) - rE(A, gb)
+        abpos = A.rlen - int(rE(A, hi))
+    # B' is oriented like A; walking gb in A's direction:
+    same_dir = (B.strand == A.strand)
+    if same_dir:
+        if A.strand == 0:   # both forward
+            b_t = rE(B, gb) - int(rE(B, lo))
+            bbpos = int(rE(B, lo))
+        else:               # both reverse: B' = E_B read backwards? No:
+            # B stored = RC(E_B); comp=0 so B' = stored B = RC(E_B).
+            # Walking genome downward, B' consumed = rE_B(hi) - rE_B(g).
+            b_t = int(rE(B, hi)) - rE(B, gb)
+            bbpos = B.rlen - int(rE(B, hi))
+    else:
+        if A.strand == 0:   # A fwd, B rev: comp=1, B' = RC(stored B) = E_B
+            b_t = rE(B, gb) - int(rE(B, lo))
+            bbpos = int(rE(B, lo))
+        else:               # A rev, B fwd: comp=1, B' = RC(stored B) = RC(E_B)
+            b_t = int(rE(B, hi)) - rE(B, gb)
+            bbpos = B.rlen - int(rE(B, hi))
+    return a_t.astype(np.int64), b_t.astype(np.int64), abpos, bbpos
+
+
+def simulate(cfg: SimConfig) -> SimDataset:
+    rng = np.random.Generator(np.random.PCG64(cfg.seed))
+    genome = rng.integers(0, 4, size=cfg.genome_len).astype(np.uint8)
+    lmean = (cfg.read_len[0] + cfg.read_len[1]) / 2
+    nreads = max(2, int(round(cfg.genome_len * cfg.coverage / lmean)))
+    reads = [_make_read(rng, genome, cfg) for _ in range(nreads)]
+
+    overlaps: List[Overlap] = []
+    for ai, A in enumerate(reads):
+        for bi, B in enumerate(reads):
+            if ai == bi:
+                continue
+            lo = max(A.gstart, B.gstart)
+            hi = min(A.gend, B.gend)
+            if hi - lo < cfg.min_overlap:
+                continue
+            a_t, b_t, abpos, bbpos = _pair_coords(A, B, lo, hi)
+            aepos = abpos + int(a_t[-1])
+            bepos = bbpos + int(b_t[-1])
+            if aepos <= abpos or bepos <= bbpos:
+                continue
+            eA = np.concatenate([[0], np.cumsum(A.edits[lo - A.gstart:hi - A.gstart])])
+            eB = np.concatenate([[0], np.cumsum(B.edits[lo - B.gstart:hi - B.gstart])])
+            if A.strand == 0:
+                ed_t = eA + eB
+            else:
+                ed_t = (eA[-1] - eA[::-1]) + (eB[-1] - eB[::-1])
+            ts = cfg.tspace
+            first = (abpos // ts + 1) * ts
+            vbound = np.concatenate([[abpos], np.arange(first, aepos, ts), [aepos]])
+            # A position v lies in the genome cell t(v) = last t with a_t <= v;
+            # composed B position at v is b_t[t(v)].  Deriving bbpos/bepos from
+            # the SAME map keeps the LAcheck invariant sum(b_j)==bepos-bbpos
+            # exact under plateaus/jumps of a_t (deletions/insertions).
+            tb = np.searchsorted(a_t, vbound - abpos, side="right") - 1
+            bbpos_f = bbpos + int(b_t[tb[0]])
+            bepos_f = bbpos + int(b_t[tb[-1]])
+            if bepos_f <= bbpos_f:
+                continue
+            badv = np.diff(b_t[tb]).astype(np.int64)
+            dblk = np.minimum(np.diff(ed_t[tb]).astype(np.int64), 255)
+            trace = np.stack([dblk, badv], axis=1).astype(np.int32)
+            overlaps.append(Overlap(
+                aread=ai, bread=bi,
+                flags=FLAG_COMP if A.strand != B.strand else 0,
+                abpos=abpos, aepos=aepos, bbpos=bbpos_f, bepos=bepos_f,
+                diffs=int(dblk.sum()), trace=trace))
+    overlaps.sort(key=lambda o: (o.aread, o.bread, o.flags, o.abpos))
+    return SimDataset(cfg=cfg, genome=genome, reads=reads, overlaps=overlaps)

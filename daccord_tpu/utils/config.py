@@ -1,0 +1,63 @@
+"""Configuration for the consensus engine.
+
+Flag-name parity with the reference CLI (SURVEY.md Appendix B: gt1/daccord
+``src/daccord.cpp`` argument conventions): ``-w -a -k -t -d -m -e -l -I -J -E
+-f -V``.  Defaults marked [UNCERTAIN] in the survey are pinned here and in
+ALGORITHM.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DaccordConfig:
+    """Frozen config; the ``libmaus2::util::ArgParser`` analog (SURVEY §5)."""
+
+    # --- reference flags (SURVEY Appendix B) ---
+    w: int = 40                # -w window size
+    a: int = 10                # -a window advance
+    k: int = 8                 # -k k-mer size (first pass)
+    t: int = 0                 # -t host pipeline workers (0 = #cores)
+    d: int = 64                # -d/--maxalign max pile depth per window [PINNED]
+    m: int = 3                 # -m min window coverage (B strings) [PINNED]
+    e: float = 1.0             # -e max window error (1.0 = off) [PINNED]
+    l: int = 0                 # -l min output fragment length [PINNED]
+    I: Optional[Tuple[int, int]] = None  # -I from,to read-id interval
+    J: Tuple[int, int] = (0, 1)          # -J i,n  process part i of n
+    E: Optional[str] = None    # -E error profile artifact path
+    f: bool = False            # -f full-sequence output mode
+    V: int = 0                 # -V verbosity
+
+    # --- pinned extensions (ALGORITHM.md) ---
+    k2: int = 12               # adaptive-k retry size (SURVEY §2.1)
+    path_delta: int = 4        # path-length slack around w-k (ALGORITHM §4)
+    eprof_sample: int = 32     # reads sampled for error-profile estimation
+
+    # --- device batching knobs (shape menu; SURVEY §7.3 item 2) ---
+    batch_windows: int = 256   # windows per device batch
+    # default error profile when no -E artifact given (ALGORITHM §7)
+    default_e_sub: float = 0.03
+    default_e_ins: float = 0.08
+    default_e_del: float = 0.04
+
+    @property
+    def wprime(self) -> int:
+        """Padded window-substring length W' (ALGORITHM §2 item 4)."""
+        return self.w + 2 * self.path_delta
+
+    @property
+    def n_candidates(self) -> int:
+        """Candidate path lengths per window: T in [w-k-delta, w-k+delta]."""
+        return 2 * self.path_delta + 1
+
+    def windows_for_length(self, rlen: int) -> int:
+        """Number of windows for a read of length rlen (ALGORITHM §2)."""
+        if rlen < self.w:
+            return 0
+        return (rlen - self.w) // self.a + 1
+
+    def replace(self, **kw) -> "DaccordConfig":
+        return dataclasses.replace(self, **kw)

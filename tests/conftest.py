@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh for JAX tests.
+
+Per the build plan (SURVEY §4 item 4), multi-chip sharding is tested on a
+virtual CPU mesh; real-TPU execution is exercised by bench.py / the driver.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

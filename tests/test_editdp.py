@@ -1,0 +1,91 @@
+"""Pinned edit-DP tests: scalar reference vs batched forms (SURVEY §4 item 3)."""
+
+import numpy as np
+
+from daccord_tpu.align.editdp import (
+    PAD, batch_edit_distance, batch_realign, edit_distance, edit_table,
+    traceback_bpos,
+)
+
+
+def _slow_edit(a, b):
+    la, lb = len(a), len(b)
+    D = np.zeros((la + 1, lb + 1), dtype=np.int64)
+    D[0] = np.arange(lb + 1)
+    D[:, 0] = np.arange(la + 1)
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            D[i, j] = min(D[i-1, j-1] + (a[i-1] != b[j-1]),
+                          D[i-1, j] + 1, D[i, j-1] + 1)
+    return int(D[la, lb])
+
+
+def test_edit_table_matches_slow():
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        la, lb = rng.integers(0, 25, size=2)
+        a = rng.integers(0, 4, size=la).astype(np.uint8)
+        b = rng.integers(0, 4, size=lb).astype(np.uint8)
+        assert edit_distance(a, b) == _slow_edit(a, b)
+
+
+def test_traceback_bpos_properties():
+    rng = np.random.default_rng(1)
+    for _ in range(30):
+        la, lb = rng.integers(1, 30, size=2)
+        a = rng.integers(0, 4, size=la).astype(np.uint8)
+        b = rng.integers(0, 4, size=lb).astype(np.uint8)
+        d, bpos = traceback_bpos(a, b)
+        assert d == edit_distance(a, b)
+        # first-arrival semantics: trailing B-only steps excluded at a=la
+        assert bpos[0] == 0 and bpos[la] <= lb
+        assert (np.diff(bpos) >= 0).all()
+
+
+def test_traceback_identity():
+    a = np.array([0, 1, 2, 3, 0, 1], dtype=np.uint8)
+    d, bpos = traceback_bpos(a, a)
+    assert d == 0
+    assert np.array_equal(bpos, np.arange(7))
+
+
+def _pad_batch(seqs, L):
+    N = len(seqs)
+    out = np.full((N, L), PAD, dtype=np.uint8)
+    lens = np.zeros(N, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, :len(s)] = s
+        lens[i] = len(s)
+    return out, lens
+
+
+def test_batch_edit_distance_matches_scalar():
+    rng = np.random.default_rng(2)
+    As, Bs = [], []
+    for _ in range(50):
+        As.append(rng.integers(0, 4, size=rng.integers(0, 40)).astype(np.uint8))
+        Bs.append(rng.integers(0, 4, size=rng.integers(0, 48)).astype(np.uint8))
+    A, la = _pad_batch(As, 40)
+    B, lb = _pad_batch(Bs, 48)
+    got = batch_edit_distance(A, la, B, lb)
+    want = [edit_distance(a, b) for a, b in zip(As, Bs)]
+    assert got.tolist() == want
+
+
+def test_batch_realign_matches_scalar():
+    rng = np.random.default_rng(3)
+    As, Bs = [], []
+    for _ in range(40):
+        As.append(rng.integers(0, 4, size=rng.integers(1, 60)).astype(np.uint8))
+        Bs.append(rng.integers(0, 4, size=rng.integers(1, 70)).astype(np.uint8))
+    A, la = _pad_batch(As, 60)
+    B, lb = _pad_batch(Bs, 70)
+    dist, bpos, ops = batch_realign(A, la, B, lb, want_ops=True)
+    for n, (a, b) in enumerate(zip(As, Bs)):
+        d, bp = traceback_bpos(a, b)
+        assert dist[n] == d
+        assert np.array_equal(bpos[n, :len(a) + 1], bp), n
+        # op counts are consistent: mismatial+up+left == distance
+        assert ops[n, 1] + ops[n, 2] + ops[n, 3] == d
+        assert ops[n, 0] + ops[n, 1] + ops[n, 2] == len(a)   # A bases consumed
+        assert ops[n, 0] + ops[n, 1] + ops[n, 3] == len(b)   # B bases consumed
