@@ -1,0 +1,143 @@
+"""End-to-end NumPy oracle: pile -> windows -> DBG -> stitch -> FASTA.
+
+The reference implementation of the full per-read flow of SURVEY §3.1
+(``handle(aread)`` in gt1/daccord ``src/daccord.cpp``) with the pinned rules
+of ALGORITHM.md.  This is the golden ground truth for the device pipeline
+(north star: byte-identical corrected FASTA up to the pinned tie-breaking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from daccord_tpu.align.editdp import edit_table
+from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
+from daccord_tpu.formats.las import LasFile
+from daccord_tpu.oracle.dbg import window_consensus_adaptive
+from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
+from daccord_tpu.oracle.offset_likely import offset_likely_q16
+from daccord_tpu.pipeline.windows import ReadCache, extract_windows, realign_pile
+from daccord_tpu.utils.config import DaccordConfig
+
+
+@dataclasses.dataclass
+class OracleStats:
+    reads: int = 0
+    windows: int = 0
+    windows_ok: int = 0
+    windows_failed_cov: int = 0
+    k2_retries: int = 0
+    fragments: int = 0
+
+
+def stitch(winners: List[Optional[np.ndarray]], cfg: DaccordConfig
+           ) -> List[Tuple[int, int, np.ndarray]]:
+    """Splice consecutive successful window consensi (ALGORITHM §5).
+
+    Returns fragments as (astart, aend, codes).
+    """
+    w, a = cfg.w, cfg.a
+    out: List[Tuple[int, int, np.ndarray]] = []
+    i = 0
+    n = len(winners)
+    while i < n:
+        if winners[i] is None:
+            i += 1
+            continue
+        j = i
+        acc = winners[i]
+        while j + 1 < n and winners[j + 1] is not None:
+            Q = winners[j + 1]
+            lp = min(len(acc), (w - a) + cfg.path_delta)
+            P = acc[len(acc) - lp:]
+            D = edit_table(P, Q)
+            jstar = int(np.argmin(D[lp]))           # first min
+            acc = np.concatenate([acc, Q[jstar:]])
+            j += 1
+        out.append((i * a, j * a + w, acc))
+        i = j + 1
+    return out
+
+
+def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
+                 plq: np.ndarray, cache: ReadCache,
+                 stats: Optional[OracleStats] = None
+                 ) -> List[Tuple[int, int, np.ndarray]]:
+    """Corrected fragments for one read (SURVEY §3.1 hot region)."""
+    A = db.read_codes(aread)
+    pile = las.pile(aread)
+    realigned, _ = realign_pile(A, pile, cache, las.tspace)
+    wps = extract_windows(A, realigned, cfg)
+    winners: List[Optional[np.ndarray]] = []
+    for wp in wps:
+        if stats:
+            stats.windows += 1
+        if wp.failed_coverage:
+            if stats:
+                stats.windows_failed_cov += 1
+            winners.append(None)
+            continue
+        res, kused = window_consensus_adaptive(wp.strings, cfg, plq)
+        if stats and kused == cfg.k2:
+            stats.k2_retries += 1
+        if stats and res is not None:
+            stats.windows_ok += 1
+        winners.append(res)
+    frags = stitch(winners, cfg)
+    return [f for f in frags if len(f[2]) >= cfg.l]
+
+
+def build_plq(profile: ErrorProfile, cfg: DaccordConfig) -> np.ndarray:
+    return offset_likely_q16(cfg.wprime, cfg.w, profile.e_ins, profile.e_del)
+
+
+def select_read_ids(nreads: int, cfg: DaccordConfig) -> range:
+    """-I interval then -J contiguous part (pinned split, ALGORITHM §8)."""
+    lo, hi = (0, nreads) if cfg.I is None else (cfg.I[0], min(cfg.I[1], nreads))
+    i, n = cfg.J
+    length = hi - lo
+    return range(lo + i * length // n, lo + (i + 1) * length // n)
+
+
+def run_oracle(db_path: str, las_path: str, cfg: DaccordConfig,
+               profile: Optional[ErrorProfile] = None
+               ) -> Tuple[List[Tuple[str, str]], OracleStats]:
+    """Full oracle run -> (FASTA records, stats). Deterministic (ALGORITHM §8)."""
+    db = DazzlerDB.open(db_path)
+    las = LasFile.open(las_path)
+    if profile is None:
+        if cfg.E is not None:
+            profile = ErrorProfile.load(cfg.E)
+        else:
+            profile = estimate_error_profile(db, las, cfg)
+    plq = build_plq(profile, cfg)
+    cache = ReadCache(db)
+    stats = OracleStats()
+    records: List[Tuple[str, str]] = []
+    for aread in select_read_ids(db.nreads, cfg):
+        stats.reads += 1
+        frags = correct_read(db, las, aread, cfg, plq, cache, stats)
+        A = None
+        if cfg.f:
+            A = db.read_codes(aread)
+            rlen = len(A)
+            full = []
+            cur = 0
+            for (astart, aend, seq) in frags:
+                if astart > cur:
+                    full.append(A[cur:astart])
+                full.append(seq)
+                cur = aend
+            if cur < rlen:
+                full.append(A[cur:rlen])
+            seq = np.concatenate(full) if full else A
+            records.append((f"{aread}/0_{rlen}", codes_to_str(seq)))
+            stats.fragments += 1
+        else:
+            for (astart, aend, seq) in frags:
+                records.append((f"{aread}/{astart}_{aend}", codes_to_str(seq)))
+                stats.fragments += 1
+    return records, stats
