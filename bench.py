@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness: corrected reads/s/chip on a config-1-style pile.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline semantics (BASELINE.md): the north-star target is >=10x the
+reference C++ daccord's CPU reads/s, which cannot be run in this environment
+(empty reference mount).  The measured stand-in is this repo's NumPy oracle
+(same algorithm, vectorized NumPy on CPU) — a *conservative proxy* (slower
+than C++ would be).  vs_baseline = tpu_reads_per_s / (10 * oracle_reads_per_s)
+so vs_baseline >= 1.0 means the >=10x-CPU-proxy goal is met.
+Extra detail goes to stderr; stdout carries exactly the one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+# config-1 analog: "E. coli K-12 PacBio 10x subset, k=8, 40bp windows,
+# single pile file" (BASELINE.json configs[0]) — synthetic stand-in sized for
+# a few-minute bench run
+SIM = dict(seed=42, genome_len=30_000, coverage=10.0, read_len=(1800, 2600))
+ORACLE_READS = 6
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    db = os.path.join(CACHE, "bench.db")
+    las = os.path.join(CACHE, "bench.las")
+    meta = os.path.join(CACHE, "bench.meta.json")
+    want = json.dumps(SIM, sort_keys=True)
+    if os.path.exists(meta) and open(meta).read() == want:
+        return db, las
+    from daccord_tpu.sim import SimConfig, simulate
+    log(f"bench: simulating dataset {SIM} ...")
+    ds = simulate(SimConfig(**{**SIM, "read_len": tuple(SIM["read_len"])}))
+    ds.write(db, las)
+    with open(meta, "w") as f:
+        f.write(want)
+    log(f"bench: {len(ds.reads)} reads, {len(ds.overlaps)} overlaps")
+    return db, las
+
+
+def oracle_baseline(db, las, cfg):
+    """Cached oracle-CPU reads/s on a subset (deterministic)."""
+    from daccord_tpu.oracle.consensus import run_oracle
+    path = os.path.join(CACHE, "oracle_baseline.json")
+    key = json.dumps([SIM, ORACLE_READS], sort_keys=True)
+    if os.path.exists(path):
+        d = json.load(open(path))
+        if d.get("key") == key:
+            return d["reads_per_s"], d["records_hash"]
+    sub = cfg.replace(I=(0, ORACLE_READS))
+    t0 = time.time()
+    recs, stats = run_oracle(db, las, sub)
+    dt = time.time() - t0
+    import hashlib
+    h = hashlib.sha256(repr(recs).encode()).hexdigest()[:16]
+    d = {"key": key, "reads_per_s": stats.reads / dt, "records_hash": h,
+         "windows": stats.windows, "seconds": dt}
+    json.dump(d, open(path, "w"))
+    log(f"bench: oracle subset {stats.reads} reads in {dt:.1f}s "
+        f"({stats.reads/dt:.2f} reads/s)")
+    return d["reads_per_s"], h
+
+
+def main():
+    from daccord_tpu.pipeline.runner import run_tpu
+    from daccord_tpu.oracle.consensus import run_oracle
+    from daccord_tpu.utils.config import DaccordConfig
+
+    db, las = ensure_dataset()
+    cfg = DaccordConfig(batch_windows=256)
+
+    oracle_rps, oracle_hash = oracle_baseline(db, las, cfg)
+
+    # correctness gate on the oracle subset: device path must byte-match
+    sub = cfg.replace(I=(0, ORACLE_READS))
+    recs_dev, _ = run_tpu(db, las, sub)
+    import hashlib
+    dev_hash = hashlib.sha256(repr(recs_dev).encode()).hexdigest()[:16]
+    if dev_hash != oracle_hash:
+        log("bench: WARNING device output != oracle output on subset!")
+
+    # timed full run (includes host pile realign + device consensus + stitch);
+    # warm-up pass first so jit compile is excluded (steady-state throughput)
+    import jax
+    log(f"bench: devices={jax.devices()}")
+    warm = cfg.replace(I=(0, 2))
+    run_tpu(db, las, warm)
+    t0 = time.time()
+    recs, stats = run_tpu(db, las, cfg)
+    dt = time.time() - t0
+    rps = stats.reads / dt
+    wps = stats.windows / dt
+    log(f"bench: TPU pipeline {stats.reads} reads / {stats.windows} windows "
+        f"in {dt:.1f}s -> {rps:.2f} reads/s, {wps:.0f} windows/s "
+        f"(ok={stats.windows_ok}, k2={stats.k2_retries})")
+    vs = rps / (10.0 * oracle_rps) if oracle_rps > 0 else 0.0
+    print(json.dumps({
+        "metric": "corrected_reads_per_s_per_chip",
+        "value": round(rps, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Dense batched window-consensus device step (JAX/XLA).
+
+The TPU-first reformulation of the reference's per-window pointer-chasing
+``DebruijnGraph`` code (gt1/daccord ``src/daccord.cpp``; SURVEY §3.4, §7.1):
+a batch of B windows is processed as dense integer tensors over the bounded
+k-mer universe 4^k:
+
+- (k+1)-mer edge counts  EC  [B, 4^(k+1)]   (scatter-add)
+- source/sink scores     SRC/SNK [B, 4^k]   (Q16-weighted scatter-add)
+- heaviest path          max-plus DP over T steps; the predecessor relation
+  u = (c << 2(k-1)) | (v >> 2) makes each DP step a pure
+  reshape [B,4^k]->[B,4,4^(k-1)] + broadcast add + max over the c axis —
+  no gathers (ALGORITHM §4 dense form)
+- per-T candidates, traceback via stored 2-bit backpointers
+- candidate scoring: batched Levenshtein via a row-scan with an associative
+  min-scan for the in-row dependency
+- winner: first-min over the increasing-T candidate axis (ALGORITHM §4)
+
+All integer arithmetic; results are bit-identical to the NumPy oracle
+(daccord_tpu/oracle/dbg.py) — asserted by tests/test_ops_consensus.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(2 ** 29)
+NEG_HALF = -(2 ** 28)
+BIG = 2 ** 30
+PAD = 4
+
+
+class ConsensusOut(NamedTuple):
+    ok: jnp.ndarray        # bool  [B]   window succeeded
+    length: jnp.ndarray    # int32 [B]   winner length (k + T)
+    bases: jnp.ndarray     # uint8 [B, LC] winner bases (PAD beyond length)
+    cost: jnp.ndarray      # int32 [B]   winner total edit cost
+
+
+def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
+    """int32 [..., P] codes of k-length windows (digits may include PAD=4;
+    callers mask invalid positions)."""
+    acc = jnp.zeros(S.shape[:-1] + (P,), dtype=jnp.int32)
+    for j in range(k):
+        acc = acc * 4 + S[..., j:j + P].astype(jnp.int32)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "path_delta"))
+def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                   plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
+                   *, k: int, w: int, path_delta: int) -> ConsensusOut:
+    """One batched consensus pass at k-mer size k.
+
+    S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
+    slen: int32 [B, D1]      string lengths
+    nstr: int32 [B]          valid rows (0 => padding slot / failed window)
+    plq_src/plq_snk: int32 [W'] Q16 offset-likelihood columns o=0 and o=w-k
+    """
+    B, D1, Wp = S.shape
+    M = 4 ** k
+    M1 = 4 ** (k - 1)
+    P1 = Wp - k + 1
+    P2 = Wp - k
+    t_exp = w - k
+    t_lo = max(0, t_exp - path_delta)
+    t_hi = t_exp + path_delta
+    nT = t_hi - t_lo + 1
+    LC = k + t_hi
+
+    Si = S.astype(jnp.int32)
+    pos1 = jnp.arange(P1, dtype=jnp.int32)
+    pos2 = jnp.arange(P2, dtype=jnp.int32)
+    dvalid = (jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None])  # [B,D1]
+
+    kcodes = _rolling_codes(Si, k, P1)                       # [B,D1,P1]
+    kvalid = (pos1[None, None, :] + k <= slen[:, :, None]) & dvalid[:, :, None]
+    ecodes = _rolling_codes(Si, k + 1, P2)                   # [B,D1,P2]
+    evalid = (pos2[None, None, :] + k + 1 <= slen[:, :, None]) & dvalid[:, :, None]
+
+    # invalid codes may contain PAD digits and exceed 4^k: route them fully
+    # out of range so mode="drop" discards them (they must never land in a
+    # neighboring batch row's region)
+    boff = (jnp.arange(B, dtype=jnp.int32) * M)[:, None, None]
+    kidx = jnp.where(kvalid, kcodes + boff, B * M).reshape(-1)
+    src = jnp.zeros((B * M,), jnp.int32).at[kidx].add(
+        (plq_src[None, None, :P1] * kvalid).reshape(-1), mode="drop").reshape(B, M)
+    snk = jnp.zeros((B * M,), jnp.int32).at[kidx].add(
+        (plq_snk[None, None, :P1] * kvalid).reshape(-1), mode="drop").reshape(B, M)
+
+    # Edge counts are scattered directly into the TPU-friendly layout
+    # [B, 4(c), 4(bb), M1(h)] — the big axis LAST so VPU lanes are full
+    # (a trailing axis of 4 runs at ~3% lane utilization).  (k+1)-mer code
+    # e = c*4^k + h*4 + bb  =>  in-batch index ((c<<2)|bb)*M1 + h.
+    e_c = ecodes >> (2 * k)
+    e_bb = ecodes & 3
+    e_h = (ecodes >> 2) & (M1 - 1)
+    eloc = ((e_c << 2) | e_bb) * M1 + e_h
+    boff2 = (jnp.arange(B, dtype=jnp.int32) * (4 * M))[:, None, None]
+    eidx = jnp.where(evalid, eloc + boff2, B * 4 * M).reshape(-1)
+    ec = jnp.zeros((B * 4 * M,), jnp.int32).at[eidx].add(
+        evalid.astype(jnp.int32).reshape(-1), mode="drop").reshape(B, 4, 4, M1)
+    # ec[b, c, bb, h]: count of edge u=(c,h) -> v=(h,bb)
+    ew = jnp.where(ec > 0, ec, NEG)
+
+    have_src = src.max(axis=1) > 0
+    source = jnp.argmax(src, axis=1).astype(jnp.int32)       # first max
+
+    score0 = jnp.full((B, M), NEG, jnp.int32).at[
+        jnp.arange(B), source].set(jnp.where(have_src, 0, NEG))
+
+    def pick_end(sc):
+        elig = (snk > 0) & (sc > NEG_HALF)
+        masked = jnp.where(elig, sc, NEG)
+        return (jnp.argmax(masked, axis=1).astype(jnp.int32),
+                masked.max(axis=1) > NEG_HALF)
+
+    def dp_step(sc, _):
+        # score flat [B, M] in natural code order; as predecessor u = (c, h)
+        scr = sc.reshape(B, 4, M1)
+        # unrolled 4-way max keeps one pass over memory and first-max tie
+        # semantics (strict '>' preserves the smallest c, matching the oracle)
+        best = scr[:, 0, None, :] + ew[:, 0]                 # [B,4(bb),M1]
+        bp = jnp.zeros_like(best, dtype=jnp.uint8)
+        for c in range(1, 4):
+            cand = scr[:, c, None, :] + ew[:, c]
+            m = cand > best
+            best = jnp.where(m, cand, best)
+            bp = jnp.where(m, jnp.uint8(c), bp)
+        # reachable scores are always >= 0; anything below NEG_HALF is
+        # unreachable and pinned to exactly NEG (oracle semantics: no score
+        # accumulation through dead nodes)
+        best = jnp.where(best > NEG_HALF, best, NEG)
+        # relabel (bb, h) -> natural v = h*4 + bb for the next step
+        newf = best.transpose(0, 2, 1).reshape(B, M)
+        e, okk = pick_end(newf)
+        return newf, (bp, e, okk)                            # bp in (bb,h) layout
+
+    _, (bps, ends_all, endok_all) = jax.lax.scan(
+        dp_step, score0, None, length=t_hi)                  # bps [t_hi,B,4,M1]
+    e0, ok0 = pick_end(score0)
+    ends_all = jnp.concatenate([e0[None], ends_all], axis=0)     # [t_hi+1,B]
+    endok_all = jnp.concatenate([ok0[None], endok_all], axis=0)
+    ends = ends_all[t_lo:t_hi + 1].transpose(1, 0)           # [B, nT]
+    endok = endok_all[t_lo:t_hi + 1].transpose(1, 0) & have_src[:, None]
+
+    # ---- traceback: walk all B*nT candidates from their own T ----
+    Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]    # [1, nT]
+    v = ends
+    bases = jnp.full((B, nT, t_hi), 0, dtype=jnp.uint8)
+    b_idx = jnp.arange(B)[:, None]
+
+    def tb_step(carry, t):
+        v, bases = carry
+        act = t <= Ts                                        # [B,nT] (t>=1)
+        base = (v & 3).astype(jnp.uint8)
+        c = bps[t - 1, b_idx, v & 3, v >> 2].astype(jnp.int32)   # [B,nT]
+        vprev = c * M1 + (v >> 2)
+        bases = bases.at[:, :, t - 1].set(jnp.where(act, base, bases[:, :, t - 1]))
+        v = jnp.where(act, vprev, v)
+        return (v, bases), None
+
+    (v, bases), _ = jax.lax.scan(tb_step, (v, bases),
+                                 jnp.arange(t_hi, 0, -1), length=t_hi)
+    # v is now the source k-mer for every valid candidate; decode its k bases
+    head = jnp.stack([(v >> (2 * (k - 1 - i))) & 3 for i in range(k)],
+                     axis=-1).astype(jnp.uint8)              # [B,nT,k]
+    cands = jnp.concatenate([head, bases], axis=-1)          # [B,nT,k+t_hi]
+    lc = (k + Ts).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)  # [B,nT]
+    cpos = jnp.arange(LC, dtype=jnp.int32)[None, None, :]
+    cands = jnp.where(cpos < lc[:, :, None], cands, PAD).astype(jnp.uint8)
+
+    # ---- scoring: Levenshtein(cand, s) for every (b, ti, d) ----
+    # TPU layout: the DP row axis j (Wp+1 ~ 49) goes FIRST (sublanes); the
+    # problem axes (B, nT, D1) fill the lanes.  D[i][slen] is captured at
+    # i == lc via a one-hot multiply-reduce (no per-column gathers).
+    jr_c = jnp.arange(Wp + 1, dtype=jnp.int32)[:, None, None, None]
+    row0 = jnp.broadcast_to(jr_c, (Wp + 1, B, nT, D1)).astype(jnp.int32)
+    out0 = jnp.broadcast_to(slen[:, None, :], (B, nT, D1)).astype(jnp.int32)
+    ST = S.transpose(2, 0, 1)[:, :, None, :]                 # [Wp,B,1,D1]
+    end_onehot = (jr_c == slen[None, :, None, :]).astype(jnp.int32)
+
+    def sc_step(carry, i):
+        row, out = carry
+        ci = jnp.take_along_axis(
+            cands, ((i - 1) * jnp.ones((B, nT, 1), jnp.int32)), axis=2)
+        sub = (ci[None, :, :, 0:1] != ST).astype(jnp.int32)  # [Wp,B,nT,D1]
+        tmp = jnp.minimum(row[:-1] + sub, row[1:] + 1)
+        headc = jnp.full((1, B, nT, D1), 0, jnp.int32) + i
+        t2 = jnp.concatenate([headc, tmp], axis=0) - jr_c
+        acc = jax.lax.associative_scan(jnp.minimum, t2, axis=0)
+        row = acc + jr_c
+        at_end = (row * end_onehot).sum(axis=0)              # [B,nT,D1]
+        out = jnp.where(lc[:, :, None] == i, at_end, out)
+        return (row, out), None
+
+    (_, dist), _ = jax.lax.scan(sc_step, (row0, out0),
+                                jnp.arange(1, LC + 1), length=LC)
+    dist = jnp.where(dvalid[:, None, :], dist, 0)            # mask pad strings
+    cost = dist.sum(axis=2).astype(jnp.int32)                # [B,nT]
+    cost = jnp.where(endok, cost, BIG)
+
+    win = jnp.argmin(cost, axis=1).astype(jnp.int32)         # first min
+    wincost = jnp.take_along_axis(cost, win[:, None], axis=1)[:, 0]
+    ok = (wincost < BIG) & (nstr > 0)
+    winlen = jnp.where(ok, k + t_lo + win, 0).astype(jnp.int32)
+    winbases = jnp.take_along_axis(
+        cands, win[:, None, None], axis=1)[:, 0, :]          # [B, LC]
+    winbases = jnp.where(jnp.arange(LC)[None, :] < winlen[:, None],
+                         winbases, PAD).astype(jnp.uint8)
+    return ConsensusOut(ok=ok, length=winlen, bases=winbases, cost=wincost)
