@@ -92,11 +92,26 @@ def main():
         log("bench: WARNING device output != oracle output on subset!")
 
     # timed full run (includes host pile realign + device consensus + stitch);
-    # warm-up pass first so jit compile is excluded (steady-state throughput)
+    # warm-up first: every depth-bucket shape is compiled AND executed once
+    # (first execution of an executable pays a one-time device-side load)
     import jax
     log(f"bench: devices={jax.devices()}")
+    t0 = time.time()
+    from daccord_tpu.pipeline.batcher import DEPTH_MENU, consensus_batch
+    from daccord_tpu.oracle.consensus import build_plq as _bplq
+    from daccord_tpu.oracle.eprof import ErrorProfile as _EP
+    import numpy as _np
+    _plq = _bplq(_EP(0.03, 0.08, 0.04), cfg)
+    _rng = _np.random.default_rng(0)
+    for d1 in DEPTH_MENU:
+        if d1 > cfg.d + 1:
+            continue
+        piles = [[_rng.integers(0, 4, size=cfg.w).astype(_np.uint8)
+                  for _ in range(d1)] for _ in range(2)]
+        consensus_batch(piles, cfg, _plq, cfg.k, batch=cfg.batch_windows, d1=d1)
     warm = cfg.replace(I=(0, 2))
     run_tpu(db, las, warm)
+    log(f"bench: warmup {time.time()-t0:.1f}s")
     t0 = time.time()
     recs, stats = run_tpu(db, las, cfg)
     dt = time.time() - t0

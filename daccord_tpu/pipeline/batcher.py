@@ -1,8 +1,13 @@
 """Host packing: window piles -> padded device batches -> winners.
 
-The bridge between the host window extraction (pipeline/windows.py) and the
-dense device step (ops/consensus_step.py).  Batches use the fixed shape menu
-of SURVEY §7.3 item 2: [B, D+1, W'] uint8 with PAD=4 and length arrays.
+The bridge between host window extraction (pipeline/windows.py) and the dense
+device step (ops/consensus_step.py).  Batches use the fixed shape menu of
+SURVEY §7.3 item 2: depth buckets D1 in DEPTH_MENU and width W', so a handful
+of compiled specializations cover all pile depths without recompilation
+storms, and shallow piles don't pay the deep-pile padding cost.
+
+Dispatch and collection are split so the runner can queue many batches on the
+device asynchronously (JAX async dispatch) and overlap host work.
 """
 
 from __future__ import annotations
@@ -11,19 +16,26 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from daccord_tpu.ops.consensus_step import PAD, consensus_step
+from daccord_tpu.ops.consensus_step import PAD, ConsensusOut, consensus_step
 from daccord_tpu.utils.config import DaccordConfig
+
+# D1 menu (strings per window incl. the A row); actual cap is cfg.d + 1
+DEPTH_MENU = (9, 17, 33, 65)
+
+
+def bucket_d1(nstr: int, cap_d1: int) -> int:
+    """Smallest menu depth >= nstr (bounded by the config cap)."""
+    for d1 in DEPTH_MENU:
+        if d1 >= min(nstr, cap_d1):
+            return min(d1, cap_d1)
+    return cap_d1
 
 
 def pack_windows(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
-                 batch: Optional[int] = None
+                 batch: Optional[int] = None, d1: Optional[int] = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pack per-window string lists into (S [B,D1,W'], slen [B,D1], nstr [B]).
-
-    B is padded up to ``batch`` (or len(piles)); windows beyond len(piles) get
-    nstr=0 (the device marks them failed).
-    """
-    D1 = cfg.d + 1
+    """Pack per-window string lists into (S [B,D1,W'], slen [B,D1], nstr [B])."""
+    D1 = d1 or (cfg.d + 1)
     Wp = cfg.wprime
     B = batch or len(piles)
     assert len(piles) <= B
@@ -40,27 +52,39 @@ def pack_windows(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
     return S, slen, nstr
 
 
-def consensus_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
-                    plq: np.ndarray, k: int, batch: Optional[int] = None
-                    ) -> List[Optional[np.ndarray]]:
-    """Device consensus for a list of window piles; None for failed windows.
-
-    Bit-identical to oracle.window_consensus on each pile (tests enforce).
-    """
-    if not piles:
-        return []
-    S, slen, nstr = pack_windows(piles, cfg, batch)
+def dispatch_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
+                   plq: np.ndarray, k: int, batch: int,
+                   d1: Optional[int] = None) -> ConsensusOut:
+    """Queue one device batch; returns un-fetched device arrays."""
+    S, slen, nstr = pack_windows(piles, cfg, batch, d1)
     plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)
     plq_snk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - k], dtype=np.int32)
-    out = consensus_step(S, slen, nstr, plq_src, plq_snk,
-                         k=k, w=cfg.w, path_delta=cfg.path_delta)
+    return consensus_step(S, slen, nstr, plq_src, plq_snk,
+                          k=k, w=cfg.w, path_delta=cfg.path_delta)
+
+
+def collect_batch(out: ConsensusOut, n: int) -> List[Optional[np.ndarray]]:
+    """Fetch a dispatched batch's first n winners (None = failed window)."""
     ok = np.asarray(out.ok)
     length = np.asarray(out.length)
     bases = np.asarray(out.bases)
     res: List[Optional[np.ndarray]] = []
-    for b in range(len(piles)):
+    for b in range(n):
         if ok[b]:
             res.append(bases[b, :length[b]].astype(np.uint8))
         else:
             res.append(None)
     return res
+
+
+def consensus_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
+                    plq: np.ndarray, k: int, batch: Optional[int] = None,
+                    d1: Optional[int] = None) -> List[Optional[np.ndarray]]:
+    """Synchronous convenience wrapper (tests, small runs).
+
+    Bit-identical to oracle.window_consensus on each pile (tests enforce).
+    """
+    if not piles:
+        return []
+    out = dispatch_batch(piles, cfg, plq, k, batch or len(piles), d1)
+    return collect_batch(out, len(piles))

@@ -16,6 +16,7 @@ oracle's.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -25,9 +26,10 @@ from daccord_tpu.formats.las import LasFile
 from daccord_tpu.oracle.consensus import build_plq, select_read_ids, stitch
 from daccord_tpu.oracle.dbg import window_consensus
 from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
-from daccord_tpu.pipeline.batcher import consensus_batch
+from daccord_tpu.pipeline.batcher import bucket_d1, collect_batch, dispatch_batch
 from daccord_tpu.pipeline.windows import ReadCache, extract_windows, realign_pile
 from daccord_tpu.utils.config import DaccordConfig
+from daccord_tpu.utils.jaxsetup import setup_compilation_cache
 
 
 @dataclasses.dataclass
@@ -57,50 +59,101 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         else:
             profile = estimate_error_profile(db, las, cfg)
     plq = build_plq(profile, cfg)
-    cache = ReadCache(db)
     stats = RunStats()
 
-    # ---- host front half: gather all windows of the read range ----
+    # ---- host front half + streamed device dispatch ----
+    # The front half (pile realign + window extraction, the reference's
+    # thread-pool region SURVEY §3.1) runs on a host worker pool (-t); the
+    # main thread drains completed reads and dispatches full device batches
+    # immediately, so host decode/realign overlaps device compute (the PP
+    # analog of SURVEY §2.4: host pipeline stages).  Jobs are grouped into
+    # the depth-bucket shape menu (SURVEY §7.3 item 2) so shallow piles
+    # don't pay deep-pile padding.
+    import concurrent.futures as cf
+    import threading
+
+    setup_compilation_cache()
     read_ids = list(select_read_ids(db.nreads, cfg))
-    jobs: List[Tuple[int, int, list]] = []   # (read slot, window idx, strings)
-    nwin_per_read: List[int] = []
-    for slot, aread in enumerate(read_ids):
-        stats.reads += 1
+    stats.reads = len(read_ids)
+    nwin_per_read: List[int] = [0] * len(read_ids)
+    las.build_index()  # shared, build once before threading
+    tls = threading.local()
+
+    def front_half(slot_aread):
+        slot, aread = slot_aread
+        if not hasattr(tls, "cache"):
+            tls.cache = ReadCache(db)
         A = db.read_codes(aread)
         pile = las.pile(aread)
-        realigned, _ = realign_pile(A, pile, cache, las.tspace)
+        realigned, _ = realign_pile(A, pile, tls.cache, las.tspace)
         wps = extract_windows(A, realigned, cfg)
-        nwin_per_read.append(len(wps))
+        return slot, wps
+
+    BS = cfg.batch_windows
+    cap_d1 = cfg.d + 1
+    buckets: dict = {}
+    pending = []
+
+    def flush(d1, force=False):
+        bjobs = buckets.get(d1, [])
+        while len(bjobs) >= BS or (force and bjobs):
+            chunk, buckets[d1] = bjobs[:BS], bjobs[BS:]
+            bjobs = buckets[d1]
+            out = dispatch_batch([j[2] for j in chunk], cfg, plq, cfg.k,
+                                 batch=BS, d1=d1)
+            pending.append((chunk, out))
+            stats.batches += 1
+
+    # phase A: threaded front-half only (device dispatch under GIL contention
+    # with numpy workers measured 2x slower than phasing; keep phases apart)
+    nworkers = cfg.t if cfg.t > 0 else (os.cpu_count() or 4)
+    with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
+        results = list(ex.map(front_half, enumerate(read_ids)))
+    # phase B: bucket + dispatch all batches (async enqueue, main thread)
+    for slot, wps in results:
+        nwin_per_read[slot] = len(wps)
+        stats.windows += len(wps)
         for wi, wp in enumerate(wps):
-            stats.windows += 1
             if wp.failed_coverage:
                 stats.windows_failed_cov += 1
             else:
-                jobs.append((slot, wi, wp.strings))
+                d1 = bucket_d1(len(wp.strings), cap_d1)
+                buckets.setdefault(d1, []).append((slot, wi, wp.strings))
+    for d1 in sorted(buckets):
+        flush(d1, force=True)
 
-    # ---- device: batched k=8 pass over all candidate windows ----
+    # collect: concatenate every batch's outputs on-device and fetch ONCE —
+    # each individual fetch pays a full host<->device round trip (~100ms on
+    # a tunneled chip), so per-batch fetching would dominate the wall clock
     winners: List[List[Optional[np.ndarray]]] = [
         [None] * n for n in nwin_per_read]
-    BS = cfg.batch_windows
-    for off in range(0, len(jobs), BS):
-        chunk = jobs[off:off + BS]
-        # always pad to the configured batch size: one device compile total
-        res = consensus_batch([j[2] for j in chunk], cfg, plq, cfg.k, batch=BS)
-        stats.batches += 1
-        for (slot, wi, strings), r in zip(chunk, res):
-            if r is None:
-                # adaptive k2 retry (host sparse pass, ALGORITHM §6)
-                r = window_consensus(strings, cfg, plq, cfg.k2)
+    if pending:
+        import jax.numpy as jnp
+        ok_all = np.asarray(jnp.concatenate([o.ok for _, o in pending]))
+        len_all = np.asarray(jnp.concatenate([o.length for _, o in pending]))
+        bases_all = np.asarray(jnp.concatenate([o.bases for _, o in pending]))
+        off = 0
+        for chunk, out in pending:
+            B = out.ok.shape[0]
+            for i, (slot, wi, strings) in enumerate(chunk):
+                if ok_all[off + i]:
+                    r = bases_all[off + i, :len_all[off + i]].astype(np.uint8)
+                else:
+                    # adaptive k2 retry (host sparse pass, ALGORITHM §6)
+                    r = window_consensus(strings, cfg, plq, cfg.k2)
+                    if r is not None:
+                        stats.k2_retries += 1
                 if r is not None:
-                    stats.k2_retries += 1
-            if r is not None:
-                stats.windows_ok += 1
-            winners[slot][wi] = r
+                    stats.windows_ok += 1
+                winners[slot][wi] = r
+            off += B
 
     # ---- stitch + ordered emission (ALGORITHM §5, §8) ----
+    from daccord_tpu.pipeline.stitcher import stitch_many
+    frags_all = stitch_many(winners, cfg)
     records: List[Tuple[str, str]] = []
     for slot, aread in enumerate(read_ids):
-        frags = [f for f in stitch(winners[slot], cfg) if len(f[2]) >= cfg.l]
+        frags = [f for f in frags_all[slot] if len(f[2]) >= cfg.l]
         if cfg.f:
             A = db.read_codes(aread)
             rlen = len(A)
