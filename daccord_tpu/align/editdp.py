@@ -97,7 +97,136 @@ def batch_edit_distance(A: np.ndarray, la: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Batched alignment with traceback: trace-block realignment (HOT LOOP 1)
+# Batched A->B position maps WITHOUT traceback (HOT LOOP 1, vectorized form)
+# ---------------------------------------------------------------------------
+
+def _fill_tables(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Full DP tables D [N, LA+1, LB+1] for padded batches (PAD-safe)."""
+    N, LA = A.shape
+    LB = B.shape[1]
+    jr = np.arange(LB + 1, dtype=np.int32)
+    D = np.empty((N, LA + 1, LB + 1), dtype=np.int32)
+    D[:, 0, :] = jr
+    for i in range(1, LA + 1):
+        prev = D[:, i - 1, :]
+        sub = (A[:, i - 1:i] != B).astype(np.int32)
+        tmp = np.minimum(prev[:, :-1] + sub, prev[:, 1:] + 1)
+        head = np.full((N, 1), i, dtype=np.int32)
+        acc = np.minimum.accumulate(
+            np.concatenate([head, tmp], axis=1) - jr, axis=1)
+        D[:, i, :] = acc + jr
+    return D
+
+
+def _reverse_pad(X: np.ndarray, lx: np.ndarray) -> np.ndarray:
+    """Reverse each row's first lx chars; PAD beyond (vectorized)."""
+    N, L = X.shape
+    idx = lx[:, None] - 1 - np.arange(L)[None, :]
+    out = np.where(idx >= 0, X[np.arange(N)[:, None], np.maximum(idx, 0)], PAD)
+    return out.astype(np.uint8)
+
+
+def batch_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+                  lb: np.ndarray, X: np.ndarray,
+                  nthreads: int = 0) -> np.ndarray:
+    """bpos (ALGORITHM §1 rule) evaluated only at positions X [N, PX].
+
+    Same pinned rule as batch_bpos, but the argmin runs only on the requested
+    rows (window-boundary lattice positions) — ~10x less work than the full
+    map when only multiples of the window advance are needed.
+    X values must be in [0, la[n]]; output [N, PX] int64.
+
+    Uses the native C++ kernel (daccord_tpu/native/realign.cpp) when it
+    builds; NumPy fallback otherwise (identical results, tested).
+    """
+    from daccord_tpu.native.build import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        import os as _os
+        A = np.ascontiguousarray(A, dtype=np.uint8)
+        B = np.ascontiguousarray(B, dtype=np.uint8)
+        la64 = np.ascontiguousarray(la, dtype=np.int64)
+        lb64 = np.ascontiguousarray(lb, dtype=np.int64)
+        X64 = np.ascontiguousarray(X, dtype=np.int64)
+        N, LA = A.shape
+        LB = B.shape[1]
+        PX = X64.shape[1]
+        out = np.zeros((N, PX), dtype=np.int64)
+        nt = nthreads or min(4, _os.cpu_count() or 1)
+        lib.bpos_at_batch(
+            A.ctypes.data_as(ctypes.c_void_p),
+            la64.ctypes.data_as(ctypes.c_void_p),
+            B.ctypes.data_as(ctypes.c_void_p),
+            lb64.ctypes.data_as(ctypes.c_void_p),
+            X64.ctypes.data_as(ctypes.c_void_p),
+            np.int64(PX), np.int64(N), np.int64(LA), np.int64(LB),
+            out.ctypes.data_as(ctypes.c_void_p), np.int64(nt))
+        return out
+    return _batch_bpos_at_numpy(A, la, B, lb, X)
+
+
+def _batch_bpos_at_numpy(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+                         lb: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Pure-NumPy reference for batch_bpos_at (and its fallback)."""
+    A = np.asarray(A, dtype=np.uint8)
+    B = np.asarray(B, dtype=np.uint8)
+    la = np.asarray(la, dtype=np.int64)
+    lb = np.asarray(lb, dtype=np.int64)
+    N, LA = A.shape
+    LB = B.shape[1]
+    n_idx = np.arange(N)
+    Df = _fill_tables(A, B)
+    Dr = _fill_tables(_reverse_pad(A, la), _reverse_pad(B, lb))
+    jj = np.arange(LB + 1, dtype=np.int64)[None, :]
+    cols = lb[:, None] - jj
+    colsc = np.clip(cols, 0, LB)
+    BIGV = np.int32(2 ** 30)
+    out = np.zeros(X.shape, dtype=np.int64)
+    for p in range(X.shape[1]):
+        x = np.clip(X[:, p], 0, la)
+        rf = Df[n_idx, x, :]
+        rb = Dr[n_idx, np.clip(la - x, 0, LA), :]
+        db = np.take_along_axis(rb, colsc, axis=1)
+        tot = np.where(cols >= 0, rf + db, BIGV)
+        out[:, p] = np.argmin(tot, axis=1)
+    return out
+
+
+def batch_bpos(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """(dist [N], bpos [N, LA+1]) — the pinned A->B map of ALGORITHM §1.
+
+    bpos[n, x] = smallest j minimizing Dfwd(x, j) + Dbwd(x, j), i.e. the
+    leftmost column at row x that lies on ANY optimal alignment path.  This
+    traceback-free formulation is exactly parallel (two DP fills + an argmin)
+    — the TPU-native redesign of the reference's per-block ``NP`` traceback
+    loop (SURVEY §3.1 HOT LOOP 1; see ALGORITHM §1 for the pinned rule).
+    Values beyond x > la[n] are undefined.
+    """
+    A = np.asarray(A, dtype=np.uint8)
+    B = np.asarray(B, dtype=np.uint8)
+    la = np.asarray(la, dtype=np.int64)
+    lb = np.asarray(lb, dtype=np.int64)
+    N, LA = A.shape
+    LB = B.shape[1]
+    n_idx = np.arange(N)
+    Df = _fill_tables(A, B)
+    Dr = _fill_tables(_reverse_pad(A, la), _reverse_pad(B, lb))
+    xx = np.arange(LA + 1, dtype=np.int64)[None, :, None]
+    jj = np.arange(LB + 1, dtype=np.int64)[None, None, :]
+    xi = np.clip(la[:, None, None] - xx, 0, LA)
+    ji = np.clip(lb[:, None, None] - jj, 0, LB)
+    tot = Df + Dr[n_idx[:, None, None], xi, ji]
+    BIGV = np.int32(2 ** 30)
+    tot = np.where(jj <= lb[:, None, None], tot, BIGV)
+    bpos = np.argmin(tot, axis=2).astype(np.int64)   # first-min = smallest j
+    dist = Df[n_idx, la, lb].astype(np.int32)
+    return dist, bpos
+
+
+# ---------------------------------------------------------------------------
+# Batched alignment with traceback (used for error-profile op counts)
 # ---------------------------------------------------------------------------
 
 def batch_realign(A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray,

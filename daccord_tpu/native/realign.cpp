@@ -1,0 +1,121 @@
+// Native host kernel: batched trace-block realignment position maps.
+//
+// The C++-grade host implementation mandated for the reference's native
+// runtime parts (SURVEY §2.2: libmaus2 lcs/NP slice).  Computes, for each
+// padded problem (A[0..la) vs B[0..lb)), the pinned A->B map of ALGORITHM §1:
+//
+//   bpos[x] = min { j : Dfwd(x, j) + Dbwd(x, j) = dist }
+//
+// evaluated only at the requested positions X (window-boundary lattice).
+// Dfwd rows are computed streaming (two rolling rows); the rows needed at
+// lattice positions are captured on the fly, and likewise for the backward
+// DP on the reversed strings.  ~3 ops/cell scalar; threaded over problems.
+//
+// Build: g++ -O3 -shared -fPIC -o librealign.so realign.cpp -lpthread
+// ABI consumed via ctypes (daccord_tpu/align/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+#include <thread>
+
+namespace {
+
+inline int32_t min3(int32_t a, int32_t b, int32_t c) {
+    return std::min(a, std::min(b, c));
+}
+
+// Fill forward DP over (a[0..la) x b[0..lb)), capturing rows listed in
+// rows_sorted (ascending, unique, values in [0, la]) into cap (each lb+1).
+void dp_capture_rows(const uint8_t* a, int64_t la, const uint8_t* b,
+                     int64_t lb, const int64_t* rows, int64_t nrows,
+                     int32_t* cap /* [nrows][lb+1] */, int32_t* r0,
+                     int32_t* r1) {
+    for (int64_t j = 0; j <= lb; ++j) r0[j] = (int32_t)j;
+    int64_t ri = 0;
+    while (ri < nrows && rows[ri] == 0) {
+        std::memcpy(cap + ri * (lb + 1), r0, (lb + 1) * sizeof(int32_t));
+        ++ri;
+    }
+    for (int64_t i = 1; i <= la; ++i) {
+        r1[0] = (int32_t)i;
+        const uint8_t ai = a[i - 1];
+        for (int64_t j = 1; j <= lb; ++j) {
+            const int32_t sub = r0[j - 1] + (ai != b[j - 1]);
+            r1[j] = min3(sub, r0[j] + 1, r1[j - 1] + 1);
+        }
+        std::swap(r0, r1);
+        while (ri < nrows && rows[ri] == i) {
+            std::memcpy(cap + ri * (lb + 1), r0, (lb + 1) * sizeof(int32_t));
+            ++ri;
+        }
+    }
+}
+
+void one_problem(const uint8_t* A, const uint8_t* B, int64_t la, int64_t lb,
+                 int64_t LB, const int64_t* X, int64_t PX, int64_t* out) {
+    // sort/unique requested positions, remembering mapping
+    std::vector<int64_t> xs(X, X + PX);
+    for (auto& x : xs) x = std::min(std::max<int64_t>(x, 0), la);
+    std::vector<int64_t> order(PX);
+    for (int64_t p = 0; p < PX; ++p) order[p] = p;
+    std::sort(order.begin(), order.end(),
+              [&](int64_t u, int64_t v) { return xs[u] < xs[v]; });
+    std::vector<int64_t> rows_f, rows_b;
+    rows_f.reserve(PX);
+    for (int64_t p = 0; p < PX; ++p) rows_f.push_back(xs[order[p]]);
+    // backward rows needed: la - x, ascending
+    for (int64_t p = PX - 1; p >= 0; --p) rows_b.push_back(la - rows_f[p]);
+
+    std::vector<int32_t> capf(PX * (lb + 1)), capb(PX * (lb + 1));
+    std::vector<int32_t> r0(lb + 1), r1(lb + 1);
+    std::vector<uint8_t> ar(la), br(lb);
+    for (int64_t i = 0; i < la; ++i) ar[i] = A[la - 1 - i];
+    for (int64_t j = 0; j < lb; ++j) br[j] = B[lb - 1 - j];
+
+    dp_capture_rows(A, la, B, lb, rows_f.data(), PX, capf.data(),
+                    r0.data(), r1.data());
+    dp_capture_rows(ar.data(), la, br.data(), lb, rows_b.data(), PX,
+                    capb.data(), r0.data(), r1.data());
+
+    for (int64_t p = 0; p < PX; ++p) {
+        const int32_t* rf = capf.data() + p * (lb + 1);
+        // backward row for x = rows_f[p] is at capb index (PX-1-p)
+        const int32_t* rb = capb.data() + (PX - 1 - p) * (lb + 1);
+        // Dbwd(x, j) = Drev(la - x, lb - j) = rb[lb - j]
+        int32_t best = INT32_MAX;
+        int64_t bestj = 0;
+        for (int64_t j = 0; j <= lb; ++j) {
+            const int32_t v = rf[j] + rb[lb - j];
+            if (v < best) { best = v; bestj = j; }
+        }
+        out[order[p]] = bestj;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
+                   const int64_t* lb, const int64_t* X, int64_t PX,
+                   int64_t N, int64_t LA, int64_t LB, int64_t* out,
+                   int64_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    auto worker = [&](int64_t t) {
+        for (int64_t n = t; n < N; n += nthreads) {
+            one_problem(A + n * LA, B + n * LB, la[n], lb[n], LB,
+                        X + n * PX, PX, out + n * PX);
+        }
+    };
+    if (nthreads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(worker, t);
+        for (auto& th : ts) th.join();
+    }
+}
+
+}  // extern "C"

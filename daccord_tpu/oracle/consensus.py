@@ -69,7 +69,7 @@ def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
     """Corrected fragments for one read (SURVEY §3.1 hot region)."""
     A = db.read_codes(aread)
     pile = las.pile(aread)
-    realigned, _ = realign_pile(A, pile, cache, las.tspace)
+    realigned, _ = realign_pile(A, pile, cache, las.tspace, w=cfg.w, a=cfg.a)
     wps = extract_windows(A, realigned, cfg)
     winners: List[Optional[np.ndarray]] = []
     for wp in wps:

@@ -85,7 +85,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             tls.cache = ReadCache(db)
         A = db.read_codes(aread)
         pile = las.pile(aread)
-        realigned, _ = realign_pile(A, pile, tls.cache, las.tspace)
+        realigned, _ = realign_pile(A, pile, tls.cache, las.tspace, w=cfg.w, a=cfg.a)
         wps = extract_windows(A, realigned, cfg)
         return slot, wps
 

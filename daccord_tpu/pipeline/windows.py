@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from daccord_tpu.align.editdp import PAD, batch_realign
+from daccord_tpu.align.editdp import PAD, batch_bpos_at, batch_realign
 from daccord_tpu.formats.dazzler_db import DazzlerDB
 from daccord_tpu.formats.las import Overlap, trace_block_bounds
 from daccord_tpu.utils.config import DaccordConfig
@@ -52,11 +52,23 @@ class ReadCache:
         self._rc.clear()
 
 
+def _lattice(lo: int, hi: int, a: int, rem: int) -> np.ndarray:
+    """Positions p in [lo, hi] with p % a == rem."""
+    start = lo + ((rem - lo) % a)
+    return np.arange(start, hi + 1, a, dtype=np.int64)
+
+
 def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
-                 tspace: int, want_ops: bool = False):
+                 tspace: int, want_ops: bool = False,
+                 w: int = 40, a: int = 10):
     """Realign every trace block of a pile in one batched DP.
 
     Returns (realigned: List[RealignedOverlap], ops or None).
+
+    The A->B maps are evaluated only at window-boundary lattice positions
+    (multiples of ``a`` and of ``a`` shifted by ``w % a``) — the only
+    positions extract_windows reads.  With want_ops the full traceback runs
+    instead (error-profile estimation needs op counts).
     """
     if not pile:
         return [], (np.zeros((0, 4), dtype=np.int64) if want_ops else None)
@@ -86,20 +98,44 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
         Bbuf[n, :len(sb)] = sb
         la[n] = len(sa)
         lb[n] = len(sb)
-    _, bpos, ops = batch_realign(Abuf, la, Bbuf, lb, want_ops=want_ops)
-
     realigned: List[RealignedOverlap] = []
     for oi, o in enumerate(pile):
         bmap = np.zeros(o.aepos - o.abpos + 1, dtype=np.int64)
         realigned.append(RealignedOverlap(
             ovl=o, bseq=cache.get(o.bread, o.is_comp), bmap=bmap))
+
+    if want_ops:
+        # traceback path: needed only for error-profile op counts (eprof)
+        _, bpos, ops = batch_realign(Abuf, la, Bbuf, lb, want_ops=True)
+        for n, (oi, a0, b0) in enumerate(owners):
+            o = pile[oi]
+            blk_len = int(la[n])
+            seg = bpos[n, :blk_len + 1] + b0
+            realigned[oi].bmap[a0 - o.abpos:a0 - o.abpos + blk_len + 1] = seg
+        return realigned, ops
+
+    # window-boundary lattice positions per block (global A coords)
+    rems = sorted({0, w % a})
+    pos_lists = []
+    for n, (oi, a0, b0) in enumerate(owners):
+        hi = a0 + int(la[n])
+        ps = np.concatenate([_lattice(a0, hi, a, r) for r in rems])
+        ps.sort()
+        pos_lists.append(ps)
+    PX = max((len(p) for p in pos_lists), default=1) or 1
+    X = np.zeros((N, PX), dtype=np.int64)
+    for n, ps in enumerate(pos_lists):
+        a0 = owners[n][1]
+        X[n, :len(ps)] = ps - a0          # local block coords
+        X[n, len(ps):] = 0                # padded slots recompute x=0 (cheap)
+    bp_at = batch_bpos_at(Abuf, la, Bbuf, lb, X)
+    # write maps; later blocks overwrite shared boundaries (local x=0 -> b0,
+    # the exact trace cumsum), preserving the chained-boundary convention
     for n, (oi, a0, b0) in enumerate(owners):
         o = pile[oi]
-        blk_len = int(la[n])
-        # block covers A [a0, a0+blk_len]; local bpos -> absolute B' positions
-        seg = bpos[n, :blk_len + 1] + b0
-        realigned[oi].bmap[a0 - o.abpos:a0 - o.abpos + blk_len + 1] = seg
-    return realigned, ops
+        ps = pos_lists[n]
+        realigned[oi].bmap[ps - o.abpos] = bp_at[n, :len(ps)] + b0
+    return realigned, None
 
 
 @dataclasses.dataclass

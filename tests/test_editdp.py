@@ -89,3 +89,60 @@ def test_batch_realign_matches_scalar():
         assert ops[n, 1] + ops[n, 2] + ops[n, 3] == d
         assert ops[n, 0] + ops[n, 1] + ops[n, 2] == len(a)   # A bases consumed
         assert ops[n, 0] + ops[n, 1] + ops[n, 3] == len(b)   # B bases consumed
+
+
+def test_batch_bpos_pinned_properties():
+    """bpos: leftmost-on-any-optimal-path (ALGORITHM §1 pinned rule)."""
+    from daccord_tpu.align.editdp import batch_bpos
+    rng = np.random.default_rng(4)
+    As, Bs = [], []
+    for _ in range(40):
+        As.append(rng.integers(0, 4, size=rng.integers(1, 50)).astype(np.uint8))
+        Bs.append(rng.integers(0, 4, size=rng.integers(1, 60)).astype(np.uint8))
+    A, la = _pad_batch(As, 50)
+    B, lb = _pad_batch(Bs, 60)
+    dist, bpos = batch_bpos(A, la, B, lb)
+    for n, (a, b) in enumerate(zip(As, Bs)):
+        d = edit_distance(a, b)
+        assert dist[n] == d
+        bp = bpos[n, :len(a) + 1]
+        assert bp[0] == 0
+        assert (np.diff(bp) >= 0).all()
+        assert bp[-1] <= len(b)
+        # brute-force check on a few rows: bp[x] is the smallest j with
+        # Dfwd(x,j)+Dbwd(x,j) == dist
+        Df = edit_table(a, b)
+        Db = edit_table(a[::-1].copy(), b[::-1].copy())
+        for x in [0, len(a) // 2, len(a)]:
+            tot = Df[x] + Db[len(a) - x][::-1]
+            want = int(np.flatnonzero(tot == tot.min())[0])
+            assert tot.min() == d
+            assert bp[x] == want, (n, x)
+
+
+def test_batch_bpos_identity():
+    from daccord_tpu.align.editdp import batch_bpos
+    a = np.array([[0, 1, 2, 3, 0, 1]], dtype=np.uint8)
+    d, bp = batch_bpos(a, np.array([6]), a.copy(), np.array([6]))
+    assert d[0] == 0
+    assert np.array_equal(bp[0], np.arange(7))
+
+
+def test_native_bpos_at_matches_numpy():
+    """C++ kernel == NumPy reference on random batches (incl. lattice use)."""
+    from daccord_tpu.align.editdp import batch_bpos_at, _batch_bpos_at_numpy
+    from daccord_tpu.native.build import get_lib
+    assert get_lib() is not None, "native library must build in this env"
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        N = int(rng.integers(1, 40))
+        LA, LB = int(rng.integers(2, 110)), int(rng.integers(2, 140))
+        A = rng.integers(0, 4, size=(N, LA)).astype(np.uint8)
+        B = rng.integers(0, 4, size=(N, LB)).astype(np.uint8)
+        la = rng.integers(1, LA + 1, size=N).astype(np.int64)
+        lb = rng.integers(1, LB + 1, size=N).astype(np.int64)
+        PX = int(rng.integers(1, 14))
+        X = (rng.integers(0, LA + 1, size=(N, PX)) % (la[:, None] + 1))
+        got = batch_bpos_at(A, la, B, lb, X)
+        want = _batch_bpos_at_numpy(A, la, B, lb, X)
+        assert np.array_equal(got, want), trial
