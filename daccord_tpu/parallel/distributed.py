@@ -1,0 +1,131 @@
+"""Multi-host scale-out: per-part execution, manifests, resume, merge.
+
+The TPU-native equivalent of the reference's cluster scale-out model
+(SURVEY §2.4 DP row, §5 checkpoint/resume): read-id ranges are planned by
+work (parallel/planner.py = the computeintervals analog), each host/process
+corrects its range and writes an atomic per-part FASTA plus a manifest entry;
+completed parts are skipped on re-run (idempotent restart — the reference's
+``-J i,n`` re-run model, SURVEY §5 'failure detection'); the merge is a
+deterministic concatenation in read order, matching the operator-side
+concatenation of the reference (and keeping DCN traffic ~0 per SURVEY §5).
+
+Within a host, chips are fed through the window-batch data parallelism of
+pipeline/runner.py; across hosts this module is the coordination layer.
+``jax.distributed.initialize`` can place one process per host on a pod slice
+(process_id/num_processes map to part_id/nparts here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import tempfile
+from typing import List, Optional, Tuple
+
+from daccord_tpu.formats.dazzler_db import DazzlerDB
+from daccord_tpu.formats.las import LasFile
+from daccord_tpu.formats.fasta import read_fasta, write_fasta
+from daccord_tpu.parallel.planner import plan_intervals, work_per_read
+from daccord_tpu.utils.config import DaccordConfig
+
+
+def part_path(outdir: str, part: int) -> str:
+    return os.path.join(outdir, f"part_{part:05d}.fasta")
+
+
+def manifest_path(outdir: str, part: int) -> str:
+    return os.path.join(outdir, f"part_{part:05d}.manifest.json")
+
+
+def plan(db_path: str, las_path: str, nparts: int) -> List[Tuple[int, int]]:
+    db = DazzlerDB.open(db_path)
+    las = LasFile.open(las_path)
+    return plan_intervals(work_per_read(db, las), nparts)
+
+
+def _fasta_sha(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def part_done(outdir: str, part: int, interval: Tuple[int, int]) -> bool:
+    """True iff this part completed previously with the same interval and its
+    output file is intact (resume check; SURVEY §5 checkpoint/resume)."""
+    mp = manifest_path(outdir, part)
+    pp = part_path(outdir, part)
+    if not (os.path.exists(mp) and os.path.exists(pp)):
+        return False
+    try:
+        m = json.load(open(mp))
+        return (tuple(m["interval"]) == tuple(interval)
+                and m["sha256"] == _fasta_sha(pp))
+    except Exception:
+        return False
+
+
+def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
+             nparts: int, outdir: str, use_oracle: bool = False,
+             intervals: Optional[List[Tuple[int, int]]] = None) -> dict:
+    """Correct one planned read range; atomic part file + manifest entry."""
+    os.makedirs(outdir, exist_ok=True)
+    if intervals is None:
+        intervals = plan(db_path, las_path, nparts)
+    lo, hi = intervals[part]
+    if part_done(outdir, part, (lo, hi)):
+        return json.load(open(manifest_path(outdir, part)))
+
+    sub = cfg.replace(I=(lo, hi), J=(0, 1))
+    if use_oracle:
+        from daccord_tpu.oracle.consensus import run_oracle
+        records, stats = run_oracle(db_path, las_path, sub)
+    else:
+        from daccord_tpu.pipeline.runner import run_tpu
+        records, stats = run_tpu(db_path, las_path, sub)
+
+    pp = part_path(outdir, part)
+    fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
+    os.close(fd)
+    write_fasta(tmp, records)
+    os.replace(tmp, pp)  # atomic publish
+    entry = {
+        "part": part, "interval": [lo, hi], "records": len(records),
+        "reads": stats.reads, "windows": stats.windows,
+        "sha256": _fasta_sha(pp),
+    }
+    fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
+    os.close(fd)
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, manifest_path(outdir, part))
+    return entry
+
+
+def missing_parts(db_path: str, las_path: str, nparts: int,
+                  outdir: str) -> List[int]:
+    intervals = plan(db_path, las_path, nparts)
+    return [p for p in range(nparts)
+            if not part_done(outdir, p, intervals[p])]
+
+
+def merge_parts(outdir: str, nparts: int, dest: str) -> int:
+    """Concatenate parts in order -> one FASTA; returns record count."""
+    n = 0
+    with open(dest + ".tmp", "w") as out:
+        for p in range(nparts):
+            for name, seq in read_fasta(part_path(outdir, p)):
+                write_fasta_record(out, name, seq)
+                n += 1
+    os.replace(dest + ".tmp", dest)
+    return n
+
+
+def write_fasta_record(f, name: str, seq: str) -> None:
+    from daccord_tpu.formats.fasta import LINE_WIDTH
+    f.write(f">{name}\n")
+    for i in range(0, len(seq), LINE_WIDTH):
+        f.write(seq[i:i + LINE_WIDTH] + "\n")
