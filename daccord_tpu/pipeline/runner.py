@@ -72,6 +72,9 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     import concurrent.futures as cf
     import threading
 
+    from daccord_tpu.utils.obslog import RunLog
+    log = RunLog(enabled=cfg.V > 0)
+
     setup_compilation_cache()
     read_ids = list(select_read_ids(db.nreads, cfg))
     stats.reads = len(read_ids)
@@ -107,20 +110,22 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     # phase A: threaded front-half only (device dispatch under GIL contention
     # with numpy workers measured 2x slower than phasing; keep phases apart)
     nworkers = cfg.t if cfg.t > 0 else (os.cpu_count() or 4)
-    with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
-        results = list(ex.map(front_half, enumerate(read_ids)))
+    with log.phase("front_half"):
+        with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
+            results = list(ex.map(front_half, enumerate(read_ids)))
     # phase B: bucket + dispatch all batches (async enqueue, main thread)
-    for slot, wps in results:
-        nwin_per_read[slot] = len(wps)
-        stats.windows += len(wps)
-        for wi, wp in enumerate(wps):
-            if wp.failed_coverage:
-                stats.windows_failed_cov += 1
-            else:
-                d1 = bucket_d1(len(wp.strings), cap_d1)
-                buckets.setdefault(d1, []).append((slot, wi, wp.strings))
-    for d1 in sorted(buckets):
-        flush(d1, force=True)
+    with log.phase("dispatch"):
+        for slot, wps in results:
+            nwin_per_read[slot] = len(wps)
+            stats.windows += len(wps)
+            for wi, wp in enumerate(wps):
+                if wp.failed_coverage:
+                    stats.windows_failed_cov += 1
+                else:
+                    d1 = bucket_d1(len(wp.strings), cap_d1)
+                    buckets.setdefault(d1, []).append((slot, wi, wp.strings))
+        for d1 in sorted(buckets):
+            flush(d1, force=True)
 
     # collect: concatenate every batch's outputs on-device and fetch ONCE —
     # each individual fetch pays a full host<->device round trip (~100ms on
@@ -129,9 +134,10 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         [None] * n for n in nwin_per_read]
     if pending:
         import jax.numpy as jnp
-        ok_all = np.asarray(jnp.concatenate([o.ok for _, o in pending]))
-        len_all = np.asarray(jnp.concatenate([o.length for _, o in pending]))
-        bases_all = np.asarray(jnp.concatenate([o.bases for _, o in pending]))
+        with log.phase("device_collect"):
+            ok_all = np.asarray(jnp.concatenate([o.ok for _, o in pending]))
+            len_all = np.asarray(jnp.concatenate([o.length for _, o in pending]))
+            bases_all = np.asarray(jnp.concatenate([o.bases for _, o in pending]))
         off = 0
         for chunk, out in pending:
             B = out.ok.shape[0]
@@ -150,7 +156,8 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
 
     # ---- stitch + ordered emission (ALGORITHM §5, §8) ----
     from daccord_tpu.pipeline.stitcher import stitch_many
-    frags_all = stitch_many(winners, cfg)
+    with log.phase("stitch"):
+        frags_all = stitch_many(winners, cfg)
     records: List[Tuple[str, str]] = []
     for slot, aread in enumerate(read_ids):
         frags = [f for f in frags_all[slot] if len(f[2]) >= cfg.l]
@@ -173,4 +180,12 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             for (astart, aend, seq) in frags:
                 records.append((f"{aread}/{astart}_{aend}", codes_to_str(seq)))
                 stats.fragments += 1
+    log.count("reads", stats.reads)
+    log.count("windows", stats.windows)
+    log.count("windows_ok", stats.windows_ok)
+    log.count("k2_retries", stats.k2_retries)
+    log.count("fragments", stats.fragments)
+    log.count("batches", stats.batches)
+    if cfg.V:
+        log.summary()
     return records, stats
