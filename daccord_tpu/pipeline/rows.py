@@ -1,0 +1,195 @@
+"""Vectorized front half: pile -> realigned maps -> window ROW TABLES.
+
+The runner's fast path (the oracle keeps the list-based
+windows.extract_windows as the pinned reference; tests assert equality).
+Instead of building per-window Python lists of substrings, each read yields a
+flat row table:
+
+  nstr[nwin]   strings per window (incl. the A row), after length filter+cap
+  failed[nwin] coverage failure (nb < m)
+  row_win[R]   window index of each row (rows sorted by window, pile order)
+  row_d[R]     slot index (0 = A substring)
+  row_start[R] start offset into `pool`
+  row_len[R]
+  pool         uint8 flat base pool (A + decoded B' sequences concatenated)
+
+Batches are then materialized with one ragged gather (no per-row copies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from daccord_tpu.align.editdp import batch_bpos_at
+from daccord_tpu.formats.las import Overlap, trace_block_bounds
+from daccord_tpu.pipeline.windows import ReadCache, RealignedOverlap, _lattice
+from daccord_tpu.utils.config import DaccordConfig
+
+
+@dataclasses.dataclass
+class ReadRows:
+    nwin: int
+    nstr: np.ndarray       # int32 [nwin]
+    failed: np.ndarray     # bool  [nwin]
+    row_win: np.ndarray    # int32 [R]
+    row_d: np.ndarray      # int32 [R]
+    row_start: np.ndarray  # int64 [R]
+    row_len: np.ndarray    # int32 [R]
+    pool: np.ndarray       # uint8 flat
+    row_ptr: np.ndarray    # int64 [nwin+1] CSR over rows (sorted by window)
+
+    def window_strings(self, wi: int) -> List[np.ndarray]:
+        """Reconstruct one window's pile strings (k2 fallback, tests)."""
+        out = []
+        for r in range(int(self.row_ptr[wi]), int(self.row_ptr[wi + 1])):
+            s = self.pool[self.row_start[r]:self.row_start[r] + self.row_len[r]]
+            out.append(np.asarray(s, dtype=np.uint8))
+        return out
+
+
+def _ragged_arange(counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(rep_index, within_index) for ragged iteration over counts."""
+    total = int(counts.sum())
+    reps = np.repeat(np.arange(len(counts)), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(total) - np.repeat(starts, counts)
+    return reps, within
+
+
+def extract_rows(A: np.ndarray, realigned: Sequence[RealignedOverlap],
+                 cfg: DaccordConfig) -> ReadRows:
+    """Vectorized equivalent of windows.extract_windows (same pinned rules)."""
+    w, a = cfg.w, cfg.a
+    lmin = w - 2 * cfg.path_delta
+    lmax = cfg.wprime
+    nwin = cfg.windows_for_length(len(A))
+
+    # pool: A first, then each overlap's B'
+    seqs = [A] + [ro.bseq for ro in realigned]
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    pool = np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)
+
+    if nwin == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return ReadRows(0, z.astype(np.int32), z.astype(bool),
+                        z.astype(np.int32), z.astype(np.int32), z,
+                        z.astype(np.int32), pool, np.zeros(1, np.int64))
+
+    # B rows: per overlap, covered windows + mapped substring ranges
+    wins_l, start_l, len_l, order_l = [], [], [], []
+    for oi, ro in enumerate(realigned):
+        o = ro.ovl
+        i_lo = -(-o.abpos // a)                 # ceil
+        i_hi = min((o.aepos - w) // a, nwin - 1)
+        if i_hi < i_lo:
+            continue
+        ws = np.arange(i_lo, i_hi + 1, dtype=np.int64) * a
+        b0 = ro.bmap[ws - o.abpos]
+        b1 = ro.bmap[ws + w - o.abpos]
+        blen = b1 - b0
+        keep = (blen >= lmin) & (blen <= lmax)
+        if not keep.any():
+            continue
+        wins_l.append((ws[keep] // a).astype(np.int64))
+        start_l.append(b0[keep] + offs[1 + oi])
+        len_l.append(blen[keep])
+        order_l.append(np.full(keep.sum(), oi, dtype=np.int64))
+
+    if wins_l:
+        bw = np.concatenate(wins_l)
+        bstart = np.concatenate(start_l)
+        blen = np.concatenate(len_l)
+        border = np.concatenate(order_l)
+        # sort by (window, pile order); generation is overlap-major so a
+        # stable sort on window yields pile order within each window
+        srt = np.argsort(bw, kind="stable")
+        bw, bstart, blen, border = bw[srt], bstart[srt], blen[srt], border[srt]
+        # per-window B-string count and cap at cfg.d (keep the FIRST d)
+        counts = np.bincount(bw, minlength=nwin)
+        within = np.arange(len(bw)) - np.repeat(np.cumsum(counts) - counts,
+                                                counts)
+        keep = within < cfg.d
+        bw, bstart, blen = bw[keep], bstart[keep], blen[keep]
+        within = within[keep]
+        nb = np.bincount(bw, minlength=nwin)
+    else:
+        bw = np.zeros(0, dtype=np.int64)
+        bstart = np.zeros(0, dtype=np.int64)
+        blen = np.zeros(0, dtype=np.int64)
+        within = np.zeros(0, dtype=np.int64)
+        nb = np.zeros(nwin, dtype=np.int64)
+
+    failed = nb < cfg.m
+    nstr = (nb + 1).astype(np.int32)
+
+    # interleave the A row (d=0) before each window's B rows
+    R = nwin + len(bw)
+    row_win = np.empty(R, dtype=np.int32)
+    row_d = np.empty(R, dtype=np.int32)
+    row_start = np.empty(R, dtype=np.int64)
+    row_len = np.empty(R, dtype=np.int32)
+    # positions: window wi's rows start at ptr[wi] = wi + cum_nb[wi]
+    cum_nb = np.concatenate([[0], np.cumsum(nb)])
+    a_pos = np.arange(nwin) + cum_nb[:-1]
+    row_win[a_pos] = np.arange(nwin, dtype=np.int32)
+    row_d[a_pos] = 0
+    row_start[a_pos] = np.arange(nwin, dtype=np.int64) * a
+    row_len[a_pos] = w
+    if len(bw):
+        b_pos = (bw + 1) + cum_nb[bw] + within
+        row_win[b_pos] = bw.astype(np.int32)
+        row_d[b_pos] = (within + 1).astype(np.int32)
+        row_start[b_pos] = bstart
+        row_len[b_pos] = blen.astype(np.int32)
+    row_ptr = np.concatenate([[0], np.cumsum(nstr)]).astype(np.int64)
+    return ReadRows(nwin=nwin, nstr=nstr, failed=np.asarray(failed),
+                    row_win=row_win, row_d=row_d, row_start=row_start,
+                    row_len=row_len, pool=pool, row_ptr=row_ptr)
+
+
+class RowPool:
+    """Global concatenation of per-read pools (built once per run)."""
+
+    def __init__(self, reads: Sequence[ReadRows]):
+        lens = np.array([len(r.pool) for r in reads], dtype=np.int64)
+        self.offs = np.concatenate([[0], np.cumsum(lens)])
+        self.gpool = (np.concatenate([r.pool for r in reads])
+                      if len(reads) else np.zeros(0, np.uint8))
+
+
+def pack_rows_batch(reads: Sequence[ReadRows], pool: RowPool,
+                    window_refs: Sequence[Tuple[int, int]],
+                    cfg: DaccordConfig, batch: int, d1: int
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Materialize (S, slen, nstr) for the windows (read_idx, win_idx) listed.
+
+    One ragged gather over all rows — no per-row Python copies.
+    """
+    Wp = cfg.wprime
+    S = np.full((batch, d1, Wp), 4, dtype=np.uint8)
+    slen = np.zeros((batch, d1), dtype=np.int32)
+    nstr = np.zeros((batch,), dtype=np.int32)
+
+    src_l, dst_l, len_l = [], [], []
+    for b, (ri, wi) in enumerate(window_refs):
+        rr = reads[ri]
+        r0, r1 = int(rr.row_ptr[wi]), int(rr.row_ptr[wi + 1])
+        n = r1 - r0
+        nstr[b] = n
+        slen[b, :n] = rr.row_len[r0:r1]
+        src_l.append(pool.offs[ri] + rr.row_start[r0:r1])
+        dst_l.append(b * d1 + np.arange(n, dtype=np.int64))
+        len_l.append(rr.row_len[r0:r1].astype(np.int64))
+    if not src_l:
+        return S, slen, nstr
+    src_starts = np.concatenate(src_l)
+    dst_rows = np.concatenate(dst_l)
+    lens = np.concatenate(len_l)
+    reps, within = _ragged_arange(lens)
+    flatS = S.reshape(-1)
+    flatS[dst_rows[reps] * Wp + within] = pool.gpool[src_starts[reps] + within]
+    return S, slen, nstr

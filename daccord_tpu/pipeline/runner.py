@@ -82,6 +82,8 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     las.build_index()  # shared, build once before threading
     tls = threading.local()
 
+    from daccord_tpu.pipeline.rows import RowPool, extract_rows, pack_rows_batch
+
     def front_half(slot_aread):
         slot, aread = slot_aread
         if not hasattr(tls, "cache"):
@@ -89,23 +91,14 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         A = db.read_codes(aread)
         pile = las.pile(aread)
         realigned, _ = realign_pile(A, pile, tls.cache, las.tspace, w=cfg.w, a=cfg.a)
-        wps = extract_windows(A, realigned, cfg)
-        return slot, wps
+        return slot, extract_rows(A, realigned, cfg)
 
     BS = cfg.batch_windows
     cap_d1 = cfg.d + 1
     buckets: dict = {}
     pending = []
 
-    def flush(d1, force=False):
-        bjobs = buckets.get(d1, [])
-        while len(bjobs) >= BS or (force and bjobs):
-            chunk, buckets[d1] = bjobs[:BS], bjobs[BS:]
-            bjobs = buckets[d1]
-            out = dispatch_batch([j[2] for j in chunk], cfg, plq, cfg.k,
-                                 batch=BS, d1=d1)
-            pending.append((chunk, out))
-            stats.batches += 1
+    from daccord_tpu.ops.consensus_step import consensus_step as _cstep
 
     # phase A: threaded front-half only (device dispatch under GIL contention
     # with numpy workers measured 2x slower than phasing; keep phases apart)
@@ -113,19 +106,30 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     with log.phase("front_half"):
         with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
             results = list(ex.map(front_half, enumerate(read_ids)))
-    # phase B: bucket + dispatch all batches (async enqueue, main thread)
+        reads_rows = [rr for _, rr in sorted(results)]
+        rpool = RowPool(reads_rows)
+    # phase B: bucket windows + dispatch padded batches (async enqueue)
+    plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)
+    plq_snk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k],
+                                   dtype=np.int32)
     with log.phase("dispatch"):
-        for slot, wps in results:
-            nwin_per_read[slot] = len(wps)
-            stats.windows += len(wps)
-            for wi, wp in enumerate(wps):
-                if wp.failed_coverage:
-                    stats.windows_failed_cov += 1
-                else:
-                    d1 = bucket_d1(len(wp.strings), cap_d1)
-                    buckets.setdefault(d1, []).append((slot, wi, wp.strings))
+        for slot, rr in enumerate(reads_rows):
+            nwin_per_read[slot] = rr.nwin
+            stats.windows += rr.nwin
+            stats.windows_failed_cov += int(rr.failed.sum())
+            for wi in np.flatnonzero(~rr.failed):
+                d1 = bucket_d1(int(rr.nstr[wi]), cap_d1)
+                buckets.setdefault(d1, []).append((slot, int(wi)))
         for d1 in sorted(buckets):
-            flush(d1, force=True)
+            bjobs = buckets[d1]
+            for off in range(0, len(bjobs), BS):
+                chunk = bjobs[off:off + BS]
+                S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
+                                                cfg, BS, d1)
+                out = _cstep(S, slen, nstr, plq_src, plq_snk, k=cfg.k,
+                             w=cfg.w, path_delta=cfg.path_delta)
+                pending.append((chunk, out))
+                stats.batches += 1
 
     # collect: concatenate every batch's outputs on-device and fetch ONCE —
     # each individual fetch pays a full host<->device round trip (~100ms on
@@ -141,11 +145,13 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         off = 0
         for chunk, out in pending:
             B = out.ok.shape[0]
-            for i, (slot, wi, strings) in enumerate(chunk):
+            for i, (slot, wi) in enumerate(chunk):
                 if ok_all[off + i]:
                     r = bases_all[off + i, :len_all[off + i]].astype(np.uint8)
                 else:
-                    # adaptive k2 retry (host sparse pass, ALGORITHM §6)
+                    # adaptive k2 retry (host sparse pass, ALGORITHM §6);
+                    # strings reconstructed lazily from the row table
+                    strings = reads_rows[slot].window_strings(wi)
                     r = window_consensus(strings, cfg, plq, cfg.k2)
                     if r is not None:
                         stats.k2_retries += 1
