@@ -48,9 +48,14 @@ def _round_up(n: int, m: int) -> int:
 
 
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
-            profile: Optional[ErrorProfile] = None
+            profile: Optional[ErrorProfile] = None,
+            use_mesh: Optional[bool] = None
             ) -> Tuple[List[Tuple[str, str]], RunStats]:
-    """Full corrected-FASTA run using the device consensus step."""
+    """Full corrected-FASTA run using the device consensus step.
+
+    use_mesh: shard window batches across all local devices via the data
+    mesh (SURVEY §2.4 DP row).  Default: auto (on when >1 device visible).
+    """
     db = DazzlerDB.open(db_path)
     las = LasFile.open(las_path)
     if profile is None:
@@ -98,7 +103,21 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     buckets: dict = {}
     pending = []
 
-    from daccord_tpu.ops.consensus_step import consensus_step as _cstep
+    from daccord_tpu.ops.consensus_step import ConsensusOut
+    from daccord_tpu.ops.consensus_step import consensus_step as _single_step
+    import jax as _jax
+
+    ndev = len(_jax.devices())
+    if use_mesh is None:
+        use_mesh = ndev > 1
+    if use_mesh and ndev > 1 and cfg.batch_windows % ndev == 0:
+        from daccord_tpu.parallel.mesh import make_mesh, sharded_consensus
+        _mesh_fn = sharded_consensus(make_mesh(), cfg, cfg.k)
+
+        def _cstep(S, slen, nstr, ps, pk, **_kw):
+            return ConsensusOut(*_mesh_fn(S, slen, nstr, ps, pk))
+    else:
+        _cstep = _single_step
 
     # phase A: threaded front-half only (device dispatch under GIL contention
     # with numpy workers measured 2x slower than phasing; keep phases apart)

@@ -34,3 +34,15 @@ def test_device_pipeline_full_mode_equals_oracle(dataset):
     oracle_recs, _ = run_oracle(db_path, las_path, cfg)
     tpu_recs, _ = run_tpu(db_path, las_path, cfg)
     assert tpu_recs == oracle_recs
+
+
+def test_mesh_sharded_pipeline_equals_oracle(dataset):
+    """run_tpu with the 8-device data mesh == oracle (SURVEY §4 item 4)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ds, db_path, las_path = dataset
+    cfg = DaccordConfig(I=(0, 3), batch_windows=64)
+    oracle_recs, _ = run_oracle(db_path, las_path, cfg)
+    tpu_recs, _ = run_tpu(db_path, las_path, cfg, use_mesh=True)
+    assert tpu_recs == oracle_recs
