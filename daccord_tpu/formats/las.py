@@ -189,3 +189,44 @@ class LasFile:
 
     def areads(self) -> np.ndarray:
         return self.build_index()["areads"]
+
+
+class MultiLas:
+    """Union of several .las files as one pile source (SURVEY config 3:
+    'multi-.las piles').
+
+    Pile order [PINNED]: records of file 1 (file order), then file 2, ...
+    All files must share tspace.
+    """
+
+    def __init__(self, paths: Sequence[str]):
+        assert paths
+        self.files = [LasFile.open(p) for p in paths]
+        ts = {f.tspace for f in self.files}
+        if len(ts) != 1:
+            raise ValueError(f"mixed tspace across .las inputs: {ts}")
+        self.tspace = self.files[0].tspace
+        self.small = self.files[0].small
+        self.novl = sum(f.novl for f in self.files)
+
+    def build_index(self) -> None:
+        for f in self.files:
+            f.build_index()
+
+    def pile(self, aread: int) -> List[Overlap]:
+        out: List[Overlap] = []
+        for f in self.files:
+            out.extend(f.pile(aread))
+        return out
+
+    def areads(self) -> np.ndarray:
+        return np.unique(np.concatenate([f.areads() for f in self.files]))
+
+
+def open_piles(paths) -> "LasFile | MultiLas":
+    """One path -> LasFile; several -> MultiLas."""
+    if isinstance(paths, (list, tuple)):
+        if len(paths) == 1:
+            return LasFile.open(paths[0])
+        return MultiLas(paths)
+    return LasFile.open(paths)

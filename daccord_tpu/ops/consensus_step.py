@@ -51,10 +51,12 @@ def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "path_delta"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "path_delta", "e_q6"))
 def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                    plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
-                   *, k: int, w: int, path_delta: int) -> ConsensusOut:
+                   *, k: int, w: int, path_delta: int,
+                   e_q6: int = 1_000_000) -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
     S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
@@ -211,6 +213,10 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     win = jnp.argmin(cost, axis=1).astype(jnp.int32)         # first min
     wincost = jnp.take_along_axis(cost, win[:, None], axis=1)[:, 0]
     ok = (wincost < BIG) & (nstr > 0)
+    if e_q6 < 1_000_000:
+        # -e max window error (ALGORITHM §4): integer-exact int64 compare
+        ok &= (wincost.astype(jnp.int64) * 1_000_000
+               <= jnp.int64(e_q6) * nstr.astype(jnp.int64) * w)
     winlen = jnp.where(ok, k + t_lo + win, 0).astype(jnp.int32)
     winbases = jnp.take_along_axis(
         cands, win[:, None, None], axis=1)[:, 0, :]          # [B, LC]

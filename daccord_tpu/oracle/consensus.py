@@ -15,7 +15,7 @@ import numpy as np
 
 from daccord_tpu.align.editdp import edit_table
 from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
-from daccord_tpu.formats.las import LasFile
+from daccord_tpu.formats.las import LasFile, open_piles
 from daccord_tpu.oracle.dbg import window_consensus_adaptive
 from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
 from daccord_tpu.oracle.offset_likely import offset_likely_q16
@@ -107,7 +107,7 @@ def run_oracle(db_path: str, las_path: str, cfg: DaccordConfig,
                ) -> Tuple[List[Tuple[str, str]], OracleStats]:
     """Full oracle run -> (FASTA records, stats). Deterministic (ALGORITHM §8)."""
     db = DazzlerDB.open(db_path)
-    las = LasFile.open(las_path)
+    las = open_piles(las_path)
     if profile is None:
         if cfg.E is not None:
             profile = ErrorProfile.load(cfg.E)

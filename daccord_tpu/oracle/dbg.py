@@ -171,7 +171,11 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
     lst = np.tile(ls, nc)
     d = batch_edit_distance(Ct, lct, St, lst).reshape(nc, ns)
     cost = d.sum(axis=1)
-    return cands[int(np.argmin(cost))]
+    win = int(np.argmin(cost))
+    # -e max window error (ALGORITHM §4): integer-exact mean-cost cap
+    if cfg.e < 1.0 and int(cost[win]) * 10**6 > round(cfg.e * 10**6) * ns * w:
+        return None
+    return cands[win]
 
 
 def _decode(code: int, k: int) -> List[int]:

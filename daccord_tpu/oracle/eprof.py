@@ -13,7 +13,7 @@ from typing import List, Optional
 import numpy as np
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB
-from daccord_tpu.formats.las import LasFile
+from daccord_tpu.formats.las import LasFile, open_piles
 from daccord_tpu.utils.config import DaccordConfig
 
 

@@ -48,8 +48,11 @@ def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
         NamedSharding(mesh, P("data")),
     )
 
+    from daccord_tpu.pipeline.batcher import e_q6_of
+
     def fn(S, slen, nstr, plq_src, plq_snk):
         return tuple(consensus_step(S, slen, nstr, plq_src, plq_snk,
-                                    k=k, w=cfg.w, path_delta=cfg.path_delta))
+                                    k=k, w=cfg.w, path_delta=cfg.path_delta,
+                                    e_q6=e_q6_of(cfg)))
 
     return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)

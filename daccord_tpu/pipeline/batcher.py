@@ -60,7 +60,13 @@ def dispatch_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
     plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)
     plq_snk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - k], dtype=np.int32)
     return consensus_step(S, slen, nstr, plq_src, plq_snk,
-                          k=k, w=cfg.w, path_delta=cfg.path_delta)
+                          k=k, w=cfg.w, path_delta=cfg.path_delta,
+                          e_q6=e_q6_of(cfg))
+
+
+def e_q6_of(cfg: DaccordConfig) -> int:
+    """Static quantized -e threshold (ALGORITHM §4)."""
+    return round(cfg.e * 1_000_000) if cfg.e < 1.0 else 1_000_000
 
 
 def collect_batch(out: ConsensusOut, n: int) -> List[Optional[np.ndarray]]:

@@ -22,7 +22,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
-from daccord_tpu.formats.las import LasFile
+from daccord_tpu.formats.las import LasFile, open_piles
 from daccord_tpu.oracle.consensus import build_plq, select_read_ids, stitch
 from daccord_tpu.oracle.dbg import window_consensus
 from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
@@ -57,7 +57,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     mesh (SURVEY §2.4 DP row).  Default: auto (on when >1 device visible).
     """
     db = DazzlerDB.open(db_path)
-    las = LasFile.open(las_path)
+    las = open_piles(las_path)
     if profile is None:
         if cfg.E is not None:
             profile = ErrorProfile.load(cfg.E)
@@ -145,8 +145,10 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 chunk = bjobs[off:off + BS]
                 S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
                                                 cfg, BS, d1)
+                from daccord_tpu.pipeline.batcher import e_q6_of
                 out = _cstep(S, slen, nstr, plq_src, plq_snk, k=cfg.k,
-                             w=cfg.w, path_delta=cfg.path_delta)
+                             w=cfg.w, path_delta=cfg.path_delta,
+                             e_q6=e_q6_of(cfg))
                 pending.append((chunk, out))
                 stats.batches += 1
 

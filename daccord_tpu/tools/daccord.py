@@ -19,7 +19,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(
         prog="daccord",
         description="TPU-native long-read consensus (gt1/daccord capabilities)")
-    p.add_argument("las", help="input .las alignment pile file")
+    p.add_argument("las", nargs="+",
+                   help="input .las alignment pile file(s); several files "
+                        "form one merged pile source (multi-.las piles)")
     p.add_argument("db", help="input dazzler .db")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy oracle path instead of the device path")

@@ -1,0 +1,78 @@
+"""Multi-.las pile sources and the -e max-window-error flag."""
+
+import numpy as np
+import pytest
+
+from daccord_tpu.formats.las import LasFile, MultiLas, open_piles, write_las
+from daccord_tpu.oracle.consensus import run_oracle
+from daccord_tpu.pipeline.runner import run_tpu
+from daccord_tpu.sim import SimConfig, simulate
+from daccord_tpu.utils.config import DaccordConfig
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ml")
+    ds = simulate(SimConfig(seed=91, genome_len=4000, coverage=10.0,
+                            read_len=(700, 1100)))
+    db, las = str(d / "r.db"), str(d / "r.las")
+    ds.write(db, las)
+    # split overlaps into two las files by bread parity, preserving order
+    ev = [o for o in ds.overlaps if o.bread % 2 == 0]
+    od = [o for o in ds.overlaps if o.bread % 2 == 1]
+    las_a, las_b = str(d / "a.las"), str(d / "b.las")
+    write_las(las_a, ds.cfg.tspace, ev)
+    write_las(las_b, ds.cfg.tspace, od)
+    return ds, db, las, las_a, las_b
+
+
+def test_multilas_union_pile(dataset):
+    ds, db, las, las_a, las_b = dataset
+    single = LasFile.open(las)
+    multi = MultiLas([las_a, las_b])
+    assert multi.tspace == single.tspace
+    assert multi.novl == single.novl
+    aread = int(single.areads()[0])
+    p1 = single.pile(aread)
+    p2 = multi.pile(aread)
+    assert len(p1) == len(p2)
+    # union contains the same records (order: file1 then file2)
+    key = lambda o: (o.aread, o.bread, o.flags, o.abpos)  # noqa: E731
+    assert sorted(map(key, p1)) == sorted(map(key, p2))
+
+
+def test_multilas_pipeline_runs(dataset):
+    ds, db, las, las_a, las_b = dataset
+    cfg = DaccordConfig(I=(0, 3), batch_windows=32)
+    recs, stats = run_tpu(db, [las_a, las_b], cfg)
+    assert stats.windows > 0 and recs
+    # oracle on the multi source gives the same output
+    orecs, _ = run_oracle(db, [las_a, las_b], cfg)
+    assert recs == orecs
+
+
+def test_mixed_tspace_rejected(tmp_path, dataset):
+    ds, db, las, las_a, las_b = dataset
+    bad = str(tmp_path / "bad.las")
+    write_las(bad, 150, [])
+    with pytest.raises(ValueError):
+        MultiLas([las_a, bad])
+
+
+def test_e_flag_zero_fails_all_windows(dataset):
+    ds, db, las, *_ = dataset
+    cfg = DaccordConfig(I=(0, 2), e=0.0, batch_windows=32)
+    recs, stats = run_tpu(db, las, cfg)
+    assert stats.windows_ok == 0
+    assert recs == []
+    orecs, ostats = run_oracle(db, las, cfg)
+    assert orecs == [] and ostats.windows_ok == 0
+
+
+def test_e_flag_loose_equals_off(dataset):
+    ds, db, las, *_ = dataset
+    cfg1 = DaccordConfig(I=(0, 2), batch_windows=32)
+    cfg2 = DaccordConfig(I=(0, 2), e=0.9, batch_windows=32)
+    r1, _ = run_tpu(db, las, cfg1)
+    r2, _ = run_tpu(db, las, cfg2)
+    assert r1 == r2  # 0.9 mean error cap never binds on real piles
