@@ -50,11 +50,25 @@ def ensure_dataset():
     return db, las
 
 
+def _code_hash():
+    """Hash of the algorithm-bearing sources: cached oracle goldens must be
+    invalidated whenever the pinned algorithm changes."""
+    import hashlib
+    h = hashlib.sha256()
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "daccord_tpu")
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if fn.endswith((".py", ".cpp")):
+                h.update(open(os.path.join(dirpath, fn), "rb").read())
+    return h.hexdigest()[:16]
+
+
 def oracle_baseline(db, las, cfg):
     """Cached oracle-CPU reads/s on a subset (deterministic)."""
     from daccord_tpu.oracle.consensus import run_oracle
     path = os.path.join(CACHE, "oracle_baseline.json")
-    key = json.dumps([SIM, ORACLE_READS], sort_keys=True)
+    key = json.dumps([SIM, ORACLE_READS, _code_hash()], sort_keys=True)
     if os.path.exists(path):
         d = json.load(open(path))
         if d.get("key") == key:
