@@ -107,8 +107,10 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     eidx = jnp.where(evalid, eloc + boff2, B * 4 * M).reshape(-1)
     ec = jnp.zeros((B * 4 * M,), jnp.int32).at[eidx].add(
         evalid.astype(jnp.int32).reshape(-1), mode="drop").reshape(B, 4, 4, M1)
-    # ec[b, c, bb, h]: count of edge u=(c,h) -> v=(h,bb)
-    ew = jnp.where(ec > 0, ec, NEG)
+    # ec[b, c, bb, h]: count of edge u=(c,h) -> v=(h,bb).  Stored int16
+    # (counts < 2^15) with -1 as the no-edge sentinel: halves the HBM read
+    # per DP step; widened to int32/NEG in-register at use.
+    ew16 = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
 
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)       # first max
@@ -122,15 +124,18 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         return (jnp.argmax(masked, axis=1).astype(jnp.int32),
                 masked.max(axis=1) > NEG_HALF)
 
-    def dp_step(sc, _):
+    def dp_core(sc):
         # score flat [B, M] in natural code order; as predecessor u = (c, h)
         scr = sc.reshape(B, 4, M1)
         # unrolled 4-way max keeps one pass over memory and first-max tie
         # semantics (strict '>' preserves the smallest c, matching the oracle)
-        best = scr[:, 0, None, :] + ew[:, 0]                 # [B,4(bb),M1]
+        def edge(c):
+            e16 = ew16[:, c]
+            return jnp.where(e16 < 0, NEG, e16.astype(jnp.int32))
+        best = scr[:, 0, None, :] + edge(0)                  # [B,4(bb),M1]
         bp = jnp.zeros_like(best, dtype=jnp.uint8)
         for c in range(1, 4):
-            cand = scr[:, c, None, :] + ew[:, c]
+            cand = scr[:, c, None, :] + edge(c)
             m = cand > best
             best = jnp.where(m, cand, best)
             bp = jnp.where(m, jnp.uint8(c), bp)
@@ -139,17 +144,33 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         # accumulation through dead nodes)
         best = jnp.where(best > NEG_HALF, best, NEG)
         # relabel (bb, h) -> natural v = h*4 + bb for the next step
-        newf = best.transpose(0, 2, 1).reshape(B, M)
-        e, okk = pick_end(newf)
-        return newf, (bp, e, okk)                            # bp in (bb,h) layout
+        return best.transpose(0, 2, 1).reshape(B, M), bp
 
-    _, (bps, ends_all, endok_all) = jax.lax.scan(
-        dp_step, score0, None, length=t_hi)                  # bps [t_hi,B,4,M1]
-    e0, ok0 = pick_end(score0)
-    ends_all = jnp.concatenate([e0[None], ends_all], axis=0)     # [t_hi+1,B]
-    endok_all = jnp.concatenate([ok0[None], endok_all], axis=0)
-    ends = ends_all[t_lo:t_hi + 1].transpose(1, 0)           # [B, nT]
-    endok = endok_all[t_lo:t_hi + 1].transpose(1, 0) & have_src[:, None]
+    def dp_step_head(sc, _):
+        newf, bp = dp_core(sc)
+        return newf, bp                                      # no end-picking
+
+    def dp_step_tail(sc, _):
+        newf, bp = dp_core(sc)
+        e, okk = pick_end(newf)
+        return newf, (bp, e, okk)
+
+    # end states are only read for t in [t_lo, t_hi]: split the scan so the
+    # [B, 4^k] argmax runs on the tail steps only
+    n_head = max(t_lo - 1, 0) if t_lo > 0 else 0
+    sc_mid, bps_head = jax.lax.scan(dp_step_head, score0, None, length=n_head)
+    _, (bps_tail, ends_tail, endok_tail) = jax.lax.scan(
+        dp_step_tail, sc_mid, None, length=t_hi - n_head)
+    bps = jnp.concatenate([bps_head, bps_tail], axis=0)      # [t_hi,B,4,M1]
+    if t_lo == 0:
+        e0, ok0 = pick_end(score0)
+        ends = jnp.concatenate([e0[None], ends_tail], axis=0).transpose(1, 0)
+        endok = jnp.concatenate([ok0[None], endok_tail],
+                                axis=0).transpose(1, 0) & have_src[:, None]
+    else:
+        # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
+        ends = ends_tail.transpose(1, 0)                     # [B, nT]
+        endok = endok_tail.transpose(1, 0) & have_src[:, None]
 
     # ---- traceback: walk all B*nT candidates from their own T ----
     Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]    # [1, nT]
@@ -190,8 +211,7 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     end_onehot = (jr_c == slen[None, :, None, :].astype(jnp.int16)
                   ).astype(jnp.int16)
 
-    def sc_step(carry, i):
-        row, out = carry
+    def sc_row(row, i):
         ci = jnp.take_along_axis(
             cands, ((i - 1) * jnp.ones((B, nT, 1), jnp.int32)), axis=2)
         sub = (ci[None, :, :, 0:1] != ST).astype(jnp.int16)  # [Wp,B,nT,D1]
@@ -199,13 +219,25 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         headc = jnp.full((1, B, nT, D1), 0, jnp.int16) + i.astype(jnp.int16)
         t2 = jnp.concatenate([headc, tmp], axis=0) - jr_c
         acc = jax.lax.associative_scan(jnp.minimum, t2, axis=0)
-        row = acc + jr_c
+        return acc + jr_c
+
+    def sc_step_head(row, i):
+        return sc_row(row, i), None
+
+    def sc_step_tail(carry, i):
+        row, out = carry
+        row = sc_row(row, i)
         at_end = (row * end_onehot).sum(axis=0).astype(jnp.int32)  # [B,nT,D1]
         out = jnp.where(lc[:, :, None] == i, at_end, out)
         return (row, out), None
 
-    (_, dist), _ = jax.lax.scan(sc_step, (row0, out0),
-                                jnp.arange(1, LC + 1), length=LC)
+    # candidate lengths lie in [k+t_lo, LC]: capture D[lc][slen] only there
+    n_sc_head = k + t_lo - 1
+    row_mid, _ = jax.lax.scan(sc_step_head, row0,
+                              jnp.arange(1, n_sc_head + 1), length=n_sc_head)
+    (_, dist), _ = jax.lax.scan(sc_step_tail, (row_mid, out0),
+                                jnp.arange(n_sc_head + 1, LC + 1),
+                                length=LC - n_sc_head)
     dist = jnp.where(dvalid[:, None, :], dist, 0)            # mask pad strings
     cost = dist.sum(axis=2).astype(jnp.int32)                # [B,nT]
     cost = jnp.where(endok, cost, BIG)
