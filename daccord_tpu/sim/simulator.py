@@ -141,9 +141,19 @@ def simulate(cfg: SimConfig) -> SimDataset:
     nreads = max(2, int(round(cfg.genome_len * cfg.coverage / lmean)))
     reads = [_make_read(rng, genome, cfg) for _ in range(nreads)]
 
+    # candidate pairs via interval sweep (avoids the O(N^2) python scan)
+    gstarts = np.array([r.gstart for r in reads], dtype=np.int64)
+    gends = np.array([r.gend for r in reads], dtype=np.int64)
+    order = np.argsort(gstarts, kind="stable")
     overlaps: List[Overlap] = []
     for ai, A in enumerate(reads):
-        for bi, B in enumerate(reads):
+        # reads with gstart < A.gend - min_overlap and gend > A.gstart + min_overlap
+        hi_cut = np.searchsorted(gstarts[order], A.gend - cfg.min_overlap,
+                                 side="left")
+        cand = order[:hi_cut]
+        cand = cand[gends[cand] >= A.gstart + cfg.min_overlap]
+        for bi in sorted(int(x) for x in cand):
+            B = reads[bi]
             if ai == bi:
                 continue
             lo = max(A.gstart, B.gstart)
