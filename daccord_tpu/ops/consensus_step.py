@@ -52,11 +52,12 @@ def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "path_delta", "e_q6"))
+                   static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl"))
 def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                    plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
                    *, k: int, w: int, path_delta: int,
-                   e_q6: int = 1_000_000) -> ConsensusOut:
+                   e_q6: int = 1_000_000,
+                   dp_impl: str = "scan") -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
     S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
@@ -155,22 +156,32 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         e, okk = pick_end(newf)
         return newf, (bp, e, okk)
 
-    # end states are only read for t in [t_lo, t_hi]: split the scan so the
-    # [B, 4^k] argmax runs on the tail steps only
-    n_head = max(t_lo - 1, 0) if t_lo > 0 else 0
-    sc_mid, bps_head = jax.lax.scan(dp_step_head, score0, None, length=n_head)
-    _, (bps_tail, ends_tail, endok_tail) = jax.lax.scan(
-        dp_step_tail, sc_mid, None, length=t_hi - n_head)
-    bps = jnp.concatenate([bps_head, bps_tail], axis=0)      # [t_hi,B,4,M1]
-    if t_lo == 0:
-        e0, ok0 = pick_end(score0)
-        ends = jnp.concatenate([e0[None], ends_tail], axis=0).transpose(1, 0)
-        endok = jnp.concatenate([ok0[None], endok_tail],
-                                axis=0).transpose(1, 0) & have_src[:, None]
+    if dp_impl.startswith("pallas") and t_lo >= 1:
+        # VMEM-resident DP kernel (ops/pallas_dbg.py): edge tensor read from
+        # HBM once per window instead of once per step
+        from daccord_tpu.ops.pallas_dbg import pallas_dbg_dp
+        bps, ends, endok = pallas_dbg_dp(
+            ew16, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
+            interpret=dp_impl.endswith("interpret"))
     else:
-        # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
-        ends = ends_tail.transpose(1, 0)                     # [B, nT]
-        endok = endok_tail.transpose(1, 0) & have_src[:, None]
+        # end states are only read for t in [t_lo, t_hi]: split the scan so
+        # the [B, 4^k] argmax runs on the tail steps only
+        n_head = max(t_lo - 1, 0) if t_lo > 0 else 0
+        sc_mid, bps_head = jax.lax.scan(dp_step_head, score0, None,
+                                        length=n_head)
+        _, (bps_tail, ends_tail, endok_tail) = jax.lax.scan(
+            dp_step_tail, sc_mid, None, length=t_hi - n_head)
+        bps = jnp.concatenate([bps_head, bps_tail], axis=0)  # [t_hi,B,4,M1]
+        if t_lo == 0:
+            e0, ok0 = pick_end(score0)
+            ends = jnp.concatenate([e0[None], ends_tail],
+                                   axis=0).transpose(1, 0)
+            endok = jnp.concatenate([ok0[None], endok_tail],
+                                    axis=0).transpose(1, 0) & have_src[:, None]
+        else:
+            # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
+            ends = ends_tail.transpose(1, 0)                 # [B, nT]
+            endok = endok_tail.transpose(1, 0) & have_src[:, None]
 
     # ---- traceback: walk all B*nT candidates from their own T ----
     Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]    # [1, nT]

@@ -70,7 +70,8 @@ def part_done(outdir: str, part: int, interval: Tuple[int, int]) -> bool:
 
 def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
              nparts: int, outdir: str, use_oracle: bool = False,
-             intervals: Optional[List[Tuple[int, int]]] = None) -> dict:
+             intervals: Optional[List[Tuple[int, int]]] = None,
+             use_mesh: bool = False) -> dict:
     """Correct one planned read range; atomic part file + manifest entry."""
     os.makedirs(outdir, exist_ok=True)
     if intervals is None:
@@ -85,7 +86,9 @@ def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
         records, stats = run_oracle(db_path, las_path, sub)
     else:
         from daccord_tpu.pipeline.runner import run_tpu
-        records, stats = run_tpu(db_path, las_path, sub)
+        # mesh off by default: concurrent part processes sharing host cores
+        # starve CPU-collective rendezvous; per-host meshes are opt-in
+        records, stats = run_tpu(db_path, las_path, sub, use_mesh=use_mesh)
 
     pp = part_path(outdir, part)
     fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")

@@ -10,6 +10,11 @@ the platform must be forced programmatically after importing jax.
 import os
 import sys
 
+# Tests never use the axon TPU backend; scrub its trigger so *spawned child
+# processes* (multiprocess tests) skip the axon register() handshake, which
+# can hang at interpreter start when the tunneled chip is busy/leased.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

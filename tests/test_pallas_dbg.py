@@ -1,0 +1,72 @@
+"""Pallas DBG-DP kernel == XLA scan path (interpret mode, small k)."""
+
+import numpy as np
+import pytest
+
+from daccord_tpu.oracle.consensus import build_plq
+from daccord_tpu.oracle.dbg import window_consensus
+from daccord_tpu.oracle.eprof import ErrorProfile
+from daccord_tpu.pipeline.batcher import consensus_batch, pack_windows
+from daccord_tpu.ops.consensus_step import consensus_step
+from daccord_tpu.utils.config import DaccordConfig
+
+# small universe so interpret mode is fast: k=4 -> 256 nodes
+CFG = DaccordConfig(w=16, a=4, k=4, path_delta=2, m=2)
+PLQ = build_plq(ErrorProfile(0.03, 0.08, 0.04), CFG)
+
+
+def _piles(rng, nwin, depth):
+    piles = []
+    for _ in range(nwin):
+        truth = rng.integers(0, 4, size=CFG.w).astype(np.uint8)
+        strings = [truth.copy()]
+        for _ in range(depth):
+            s = []
+            for b in truth:
+                if rng.random() < 0.04:
+                    continue
+                s.append(b if rng.random() > 0.03 else int(rng.integers(0, 4)))
+                if rng.random() < 0.08:
+                    s.append(int(rng.integers(0, 4)))
+            strings.append(np.array(s[:CFG.wprime], dtype=np.uint8))
+        piles.append(strings)
+    return piles
+
+
+def _run(piles, dp_impl):
+    S, slen, nstr = pack_windows(piles, CFG, len(piles))
+    ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], dtype=np.int32)
+    pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], dtype=np.int32)
+    return consensus_step(S, slen, nstr, ps, pk, k=CFG.k, w=CFG.w,
+                          path_delta=CFG.path_delta, dp_impl=dp_impl)
+
+
+def test_pallas_dp_equals_scan():
+    rng = np.random.default_rng(3)
+    piles = _piles(rng, 8, 8)
+    a = _run(piles, "scan")
+    b = _run(piles, "pallas_interpret")
+    assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert np.array_equal(np.asarray(a.length), np.asarray(b.length))
+    assert np.array_equal(np.asarray(a.bases), np.asarray(b.bases))
+    assert np.array_equal(np.asarray(a.cost), np.asarray(b.cost))
+    # and both equal the oracle
+    for i, strings in enumerate(piles):
+        want = window_consensus(strings, CFG, PLQ, CFG.k)
+        got = (np.asarray(b.bases)[i, :b.length[i]]
+               if b.ok[i] else None)
+        if want is None:
+            assert got is None
+        else:
+            assert np.array_equal(got, want)
+
+
+def test_pallas_dp_degenerate():
+    rng = np.random.default_rng(4)
+    piles = [[np.zeros(0, dtype=np.uint8)],
+             [rng.integers(0, 4, size=16).astype(np.uint8)] * 3,
+             [np.zeros(16, dtype=np.uint8)] * 4]
+    a = _run(piles, "scan")
+    b = _run(piles, "pallas_interpret")
+    assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
+    assert np.array_equal(np.asarray(a.bases), np.asarray(b.bases))

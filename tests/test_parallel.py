@@ -2,7 +2,7 @@
 multi-device mesh execution (SURVEY §4 items 4-5, §5)."""
 
 import json
-import multiprocessing as mp
+
 import os
 
 import numpy as np
@@ -69,27 +69,36 @@ def test_fault_injection_corrupt_part_redone(dataset, tmp_path):
     assert e["records"] > 0
 
 
-def _worker(args):
-    db, las, outdir, part, nparts = args
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    from daccord_tpu.parallel.distributed import run_part as rp
-    from daccord_tpu.utils.config import DaccordConfig as C
-    rp(db, las, C(batch_windows=32), part, nparts, outdir)
-    return part
+_PART_SCRIPT = """
+import sys
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from daccord_tpu.parallel.distributed import run_part
+from daccord_tpu.utils.config import DaccordConfig
+run_part({db!r}, {las!r}, DaccordConfig(batch_windows=32), {part}, {nparts},
+         {outdir!r})
+"""
 
 
 def test_multiprocess_parts(dataset, tmp_path):
-    """N separate processes produce parts equal to the single run
+    """N separate OS processes produce parts equal to the single run
     (the multi-host execution model without a cluster, SURVEY §4 item 4)."""
+    import subprocess
+    import sys as _sys
+
     root, db, las = dataset
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outdir = str(tmp_path / "parts")
     nparts = 2
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(2) as pool:
-        done = pool.map(_worker, [(db, las, outdir, p, nparts)
-                                  for p in range(nparts)])
-    assert sorted(done) == [0, 1]
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # children must not touch the TPU
+    procs = [subprocess.Popen(
+        [_sys.executable, "-c", _PART_SCRIPT.format(
+            root=repo, db=db, las=las, part=p, nparts=nparts, outdir=outdir)],
+        env=env) for p in range(nparts)]
+    done = [p.wait(timeout=600) for p in procs]
+    assert done == [0, 0]
     dest = str(tmp_path / "merged.fasta")
     merge_parts(outdir, nparts, dest)
     single, _ = run_oracle(db, las, DaccordConfig())
