@@ -26,17 +26,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy oracle path instead of the device path")
     p.add_argument("--out", default="-", help="output FASTA (default stdout)")
+    p.add_argument("--save-eprof", metavar="FILE", default=None,
+                   help="estimate the error profile, save it to FILE (JSON) "
+                        "and exit (reusable via -E)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace into DIR")
     add_daccord_flags(p)
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
+    if args.save_eprof:
+        from daccord_tpu.formats.dazzler_db import DazzlerDB
+        from daccord_tpu.formats.las import open_piles
+        from daccord_tpu.oracle.eprof import estimate_error_profile
+        prof = estimate_error_profile(
+            DazzlerDB.open(args.db), open_piles(args.las), cfg)
+        prof.save(args.save_eprof)
+        print(f"[daccord] error profile -> {args.save_eprof}: {prof}",
+              file=sys.stderr)
+        return 0
+
+    from daccord_tpu.utils.obslog import maybe_profile
     t0 = time.time()
-    if args.oracle:
-        from daccord_tpu.oracle.consensus import run_oracle
-        records, stats = run_oracle(args.db, args.las, cfg)
-    else:
-        from daccord_tpu.pipeline.runner import run_tpu
-        records, stats = run_tpu(args.db, args.las, cfg)
+    with maybe_profile(args.profile):
+        if args.oracle:
+            from daccord_tpu.oracle.consensus import run_oracle
+            records, stats = run_oracle(args.db, args.las, cfg)
+        else:
+            from daccord_tpu.pipeline.runner import run_tpu
+            records, stats = run_tpu(args.db, args.las, cfg)
     dt = time.time() - t0
 
     if args.out == "-":

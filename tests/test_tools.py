@@ -113,3 +113,19 @@ def test_fillfasta(tmp_path):
     from daccord_tpu.formats.fasta import read_fasta
     (name, seq), = read_fasta(str(dst))
     assert name == "x" and set(seq) <= set("ACGT")
+
+
+def test_daccord_save_eprof_roundtrip(dataset, tmp_path):
+    _, db_path, las_path, _ = dataset
+    from daccord_tpu.tools.daccord import main
+    ep = str(tmp_path / "prof.json")
+    assert main([las_path, db_path, "--save-eprof", ep]) == 0
+    from daccord_tpu.oracle.eprof import ErrorProfile
+    prof = ErrorProfile.load(ep)
+    assert prof.n_bases > 0
+    # reuse via -E gives identical output to inline estimation
+    o1, o2 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
+    assert main([las_path, db_path, "--oracle", "--out", o1, "-I", "0,2"]) == 0
+    assert main([las_path, db_path, "--oracle", "--out", o2, "-I", "0,2",
+                 "-E", ep]) == 0
+    assert open(o1).read() == open(o2).read()
