@@ -83,7 +83,8 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
     kcodes = _rolling_codes(Si, k, P1)                       # [B,D1,P1]
     kvalid = (pos1[None, None, :] + k <= slen[:, :, None]) & dvalid[:, :, None]
-    ecodes = _rolling_codes(Si, k + 1, P2)                   # [B,D1,P2]
+    # (k+1)-mer codes extend the k-mer codes by one base (shared work)
+    ecodes = kcodes[..., :P2] * 4 + Si[..., k:k + P2]
     evalid = (pos2[None, None, :] + k + 1 <= slen[:, :, None]) & dvalid[:, :, None]
 
     # invalid codes may contain PAD digits and exceed 4^k: route them fully
