@@ -190,6 +190,11 @@ class LasFile:
     def areads(self) -> np.ndarray:
         return self.build_index()["areads"]
 
+    def pile_counts(self):
+        """(areads, record counts) arrays."""
+        idx = self.build_index()
+        return idx["areads"], idx["counts"]
+
 
 class MultiLas:
     """Union of several .las files as one pile source (SURVEY config 3:
@@ -221,6 +226,17 @@ class MultiLas:
 
     def areads(self) -> np.ndarray:
         return np.unique(np.concatenate([f.areads() for f in self.files]))
+
+    def pile_counts(self):
+        """(areads, summed record counts) across files."""
+        tot: dict = {}
+        for f in self.files:
+            a, c = f.pile_counts()
+            for ai, ci in zip(a.tolist(), c.tolist()):
+                tot[ai] = tot.get(ai, 0) + ci
+        areads = np.array(sorted(tot), dtype=np.int64)
+        counts = np.array([tot[a] for a in areads], dtype=np.int64)
+        return areads, counts
 
 
 def open_piles(paths) -> "LasFile | MultiLas":

@@ -48,6 +48,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.bpos_at_batch.restype = None
+            lib.ops_count_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.ops_count_batch.restype = None
             _lib = lib
         except Exception:
             _lib = None

@@ -94,9 +94,66 @@ void one_problem(const uint8_t* A, const uint8_t* B, int64_t la, int64_t lb,
     }
 }
 
+// Full DP table + pinned traceback op counts (ALGORITHM §1 preference
+// D > U > L) for one problem; counts = (match, mismatch, U, L).
+void one_ops(const uint8_t* a, int64_t la, const uint8_t* b, int64_t lb,
+             int64_t* cnt, std::vector<int32_t>& D) {
+    const int64_t W = lb + 1;
+    D.resize((la + 1) * W);
+    for (int64_t j = 0; j <= lb; ++j) D[j] = (int32_t)j;
+    for (int64_t i = 1; i <= la; ++i) {
+        int32_t* row = D.data() + i * W;
+        const int32_t* prev = D.data() + (i - 1) * W;
+        row[0] = (int32_t)i;
+        const uint8_t ai = a[i - 1];
+        for (int64_t j = 1; j <= lb; ++j)
+            row[j] = min3(prev[j - 1] + (ai != b[j - 1]), prev[j] + 1,
+                          row[j - 1] + 1);
+    }
+    int64_t i = la, j = lb;
+    while (i > 0 || j > 0) {
+        const int32_t cur = D[i * W + j];
+        if (i > 0 && j > 0 &&
+            cur == D[(i - 1) * W + (j - 1)] + (a[i - 1] != b[j - 1])) {
+            cnt[a[i - 1] == b[j - 1] ? 0 : 1]++;
+            --i; --j;
+        } else if (i > 0 && cur == D[(i - 1) * W + j] + 1) {
+            cnt[2]++; --i;
+        } else {
+            cnt[3]++; --j;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Summed traceback op counts over a padded batch -> out[4]
+// (match, mismatch, A-only 'U', B-only 'L'); threaded over problems.
+void ops_count_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
+                     const int64_t* lb, int64_t N, int64_t LA, int64_t LB,
+                     int64_t* out, int64_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    std::vector<int64_t> partial(nthreads * 4, 0);
+    auto worker = [&](int64_t t) {
+        std::vector<int32_t> scratch;
+        for (int64_t n = t; n < N; n += nthreads)
+            one_ops(A + n * LA, la[n], B + n * LB, lb[n],
+                    partial.data() + t * 4, scratch);
+    };
+    if (nthreads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(worker, t);
+        for (auto& th : ts) th.join();
+    }
+    for (int64_t q = 0; q < 4; ++q) {
+        out[q] = 0;
+        for (int64_t t = 0; t < nthreads; ++t) out[q] += partial[t * 4 + q];
+    }
+}
 
 void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
                    const int64_t* lb, const int64_t* X, int64_t PX,

@@ -49,7 +49,8 @@ def estimate_error_profile(db: DazzlerDB, las: LasFile,
     Op semantics (ALGORITHM §1/§7): per A-base rates; 'U' steps consume an
     A base only (A insertion relative to B), 'L' steps consume a B base only.
     """
-    from daccord_tpu.pipeline.windows import ReadCache, realign_pile
+    from daccord_tpu.align.editdp import batch_ops_count
+    from daccord_tpu.pipeline.windows import ReadCache, pile_block_batch
 
     cache = ReadCache(db)
     areads = las.areads()[: cfg.eprof_sample]
@@ -57,9 +58,10 @@ def estimate_error_profile(db: DazzlerDB, las: LasFile,
     for aread in areads:
         A = db.read_codes(int(aread))
         pile = las.pile(int(aread))
-        _, ops = realign_pile(A, pile, cache, las.tspace, want_ops=True)
-        if ops is not None and len(ops):
-            tot += ops.sum(axis=0)
+        if not pile:
+            continue
+        Abuf, la, Bbuf, lb, _ = pile_block_batch(A, pile, cache, las.tspace)
+        tot += batch_ops_count(Abuf, la, Bbuf, lb)
     n_a = int(tot[0] + tot[1] + tot[2])  # A bases consumed
     if n_a == 0:
         return ErrorProfile.default(cfg)

@@ -25,7 +25,7 @@ import tempfile
 from typing import List, Optional, Tuple
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB
-from daccord_tpu.formats.las import LasFile
+from daccord_tpu.formats.las import LasFile, open_piles
 from daccord_tpu.formats.fasta import read_fasta, write_fasta
 from daccord_tpu.parallel.planner import plan_intervals, work_per_read
 from daccord_tpu.utils.config import DaccordConfig
@@ -39,9 +39,9 @@ def manifest_path(outdir: str, part: int) -> str:
     return os.path.join(outdir, f"part_{part:05d}.manifest.json")
 
 
-def plan(db_path: str, las_path: str, nparts: int) -> List[Tuple[int, int]]:
+def plan(db_path: str, las_path, nparts: int) -> List[Tuple[int, int]]:
     db = DazzlerDB.open(db_path)
-    las = LasFile.open(las_path)
+    las = open_piles(las_path)
     return plan_intervals(work_per_read(db, las), nparts)
 
 

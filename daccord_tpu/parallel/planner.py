@@ -17,17 +17,17 @@ from daccord_tpu.formats.dazzler_db import DazzlerDB
 from daccord_tpu.formats.las import LasFile
 
 
-def work_per_read(db: DazzlerDB, las: LasFile) -> np.ndarray:
+def work_per_read(db: DazzlerDB, las) -> np.ndarray:
     """Estimated work units per read id: pile record count x read length.
 
     The dominant cost is realignment+consensus over the pile, proportional to
     (depth x windows) ~ (records x rlen); reads without piles cost ~0.
+    ``las`` may be a LasFile or MultiLas (pile_counts interface).
     """
-    idx = las.build_index()
+    a, c = las.pile_counts()
     counts = np.zeros(db.nreads, dtype=np.int64)
-    a = idx["areads"]
     inrange = a < db.nreads
-    counts[a[inrange]] = idx["counts"][inrange]
+    counts[a[inrange]] = c[inrange]
     return counts * np.maximum(db.rlen, 1)
 
 

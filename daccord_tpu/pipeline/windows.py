@@ -58,6 +58,39 @@ def _lattice(lo: int, hi: int, a: int, rem: int) -> np.ndarray:
     return np.arange(start, hi + 1, a, dtype=np.int64)
 
 
+def pile_block_batch(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
+                     tspace: int):
+    """Padded (Abuf, la, Bbuf, lb, owners) for every trace block of a pile.
+
+    owners: (overlap idx, block A start, block B' start) per problem row.
+    """
+    a_segs, b_segs = [], []
+    owners: List[Tuple[int, int, int]] = []
+    for oi, o in enumerate(pile):
+        bseq = cache.get(o.bread, o.is_comp)
+        bounds = trace_block_bounds(o.abpos, o.aepos, tspace)
+        bcur = o.bbpos
+        for t in range(len(o.trace)):
+            badv = int(o.trace[t, 1])
+            a_segs.append(A[bounds[t]:bounds[t + 1]])
+            b_segs.append(bseq[bcur:bcur + badv])
+            owners.append((oi, int(bounds[t]), bcur))
+            bcur += badv
+    LA = max((len(s) for s in a_segs), default=1) or 1
+    LB = max((len(s) for s in b_segs), default=1) or 1
+    N = len(a_segs)
+    Abuf = np.full((N, LA), PAD, dtype=np.uint8)
+    Bbuf = np.full((N, LB), PAD, dtype=np.uint8)
+    la = np.zeros(N, dtype=np.int64)
+    lb = np.zeros(N, dtype=np.int64)
+    for n, (sa, sb) in enumerate(zip(a_segs, b_segs)):
+        Abuf[n, :len(sa)] = sa
+        Bbuf[n, :len(sb)] = sb
+        la[n] = len(sa)
+        lb[n] = len(sb)
+    return Abuf, la, Bbuf, lb, owners
+
+
 def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
                  tspace: int, want_ops: bool = False,
                  w: int = 40, a: int = 10):
@@ -73,31 +106,8 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     if not pile:
         return [], (np.zeros((0, 4), dtype=np.int64) if want_ops else None)
 
-    a_segs, b_segs = [], []
-    owners: List[Tuple[int, int, int]] = []  # (overlap idx, a_start, b_start)
-    for oi, o in enumerate(pile):
-        bseq = cache.get(o.bread, o.is_comp)
-        bounds = trace_block_bounds(o.abpos, o.aepos, tspace)
-        bcur = o.bbpos
-        for t in range(len(o.trace)):
-            badv = int(o.trace[t, 1])
-            a_segs.append(A[bounds[t]:bounds[t + 1]])
-            b_segs.append(bseq[bcur:bcur + badv])
-            owners.append((oi, int(bounds[t]), bcur))
-            bcur += badv
-
-    LA = max((len(s) for s in a_segs), default=1) or 1
-    LB = max((len(s) for s in b_segs), default=1) or 1
-    N = len(a_segs)
-    Abuf = np.full((N, LA), PAD, dtype=np.uint8)
-    Bbuf = np.full((N, LB), PAD, dtype=np.uint8)
-    la = np.zeros(N, dtype=np.int64)
-    lb = np.zeros(N, dtype=np.int64)
-    for n, (sa, sb) in enumerate(zip(a_segs, b_segs)):
-        Abuf[n, :len(sa)] = sa
-        Bbuf[n, :len(sb)] = sb
-        la[n] = len(sa)
-        lb[n] = len(sb)
+    Abuf, la, Bbuf, lb, owners = pile_block_batch(A, pile, cache, tspace)
+    N = len(owners)
     realigned: List[RealignedOverlap] = []
     for oi, o in enumerate(pile):
         bmap = np.zeros(o.aepos - o.abpos + 1, dtype=np.int64)

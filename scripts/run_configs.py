@@ -41,30 +41,44 @@ CONFIGS = {
 }
 
 
-def prepare(c, scale, cachedir):
-    from daccord_tpu.sim import SimConfig, simulate
-    from daccord_tpu.formats.las import write_las
+_SIM_SNIPPET = """
+import sys, json
+sys.path.insert(0, {repo!r})
+from daccord_tpu.sim import SimConfig, simulate
+from daccord_tpu.formats.las import write_las
+ds = simulate(SimConfig(seed=1234, genome_len={g}, coverage={cov},
+                        read_len=(1800, 2600)))
+ds.write({db!r}, {las!r})
+las_files = [{las!r}]
+if {multilas}:
+    ev = [o for o in ds.overlaps if o.bread % 2 == 0]
+    od = [o for o in ds.overlaps if o.bread % 2 == 1]
+    la, lb = {las!r} + ".a", {las!r} + ".b"
+    write_las(la, ds.cfg.tspace, ev)
+    write_las(lb, ds.cfg.tspace, od)
+    las_files = [la, lb]
+json.dump({{"nreads": len(ds.reads), "las": las_files}}, open({meta!r}, "w"))
+"""
 
+
+def prepare(c, scale, cachedir):
     g = int(c["genome"] * scale)
     tag = f"{c['name']}-{g}-{c['cov']}"
     db = os.path.join(cachedir, f"{tag}.db")
     las = os.path.join(cachedir, f"{tag}.las")
     meta = os.path.join(cachedir, f"{tag}.json")
     if not os.path.exists(meta):
+        # simulate in a clean subprocess: no jax threads, no axon handshake
+        # (the TPU-attached parent process has hung inside large sims)
+        import subprocess
         log(f"[{c['name']}] simulating genome={g} cov={c['cov']} ...")
-        ds = simulate(SimConfig(seed=1234, genome_len=g, coverage=c["cov"],
-                                read_len=(1800, 2600)))
-        ds.write(db, las)
-        las_files = [las]
-        if "multilas" in c["feats"]:
-            ev = [o for o in ds.overlaps if o.bread % 2 == 0]
-            od = [o for o in ds.overlaps if o.bread % 2 == 1]
-            la, lb = las + ".a", las + ".b"
-            write_las(la, ds.cfg.tspace, ev)
-            write_las(lb, ds.cfg.tspace, od)
-            las_files = [la, lb]
-        json.dump({"nreads": len(ds.reads), "las": las_files},
-                  open(meta, "w"))
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        code = _SIM_SNIPPET.format(repo=repo, g=g, cov=c["cov"], db=db,
+                                   las=las, meta=meta,
+                                   multilas=("multilas" in c["feats"]))
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
     m = json.load(open(meta))
     return db, m["las"], m["nreads"]
 

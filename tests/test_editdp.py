@@ -146,3 +146,18 @@ def test_native_bpos_at_matches_numpy():
         got = batch_bpos_at(A, la, B, lb, X)
         want = _batch_bpos_at_numpy(A, la, B, lb, X)
         assert np.array_equal(got, want), trial
+
+
+def test_native_ops_count_matches_numpy():
+    from daccord_tpu.align.editdp import batch_ops_count, batch_realign
+    from daccord_tpu.native.build import get_lib
+    assert get_lib() is not None
+    rng = np.random.default_rng(12)
+    N, LA, LB = 60, 90, 120
+    A = rng.integers(0, 4, size=(N, LA)).astype(np.uint8)
+    B = rng.integers(0, 4, size=(N, LB)).astype(np.uint8)
+    la = rng.integers(1, LA + 1, size=N).astype(np.int64)
+    lb = rng.integers(1, LB + 1, size=N).astype(np.int64)
+    got = batch_ops_count(A, la, B, lb)
+    _, _, ops = batch_realign(A, la, B, lb, want_ops=True)
+    assert np.array_equal(got, ops.sum(axis=0))
