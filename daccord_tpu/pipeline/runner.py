@@ -23,11 +23,11 @@ import numpy as np
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
 from daccord_tpu.formats.las import LasFile, open_piles
-from daccord_tpu.oracle.consensus import build_plq, select_read_ids, stitch
+from daccord_tpu.oracle.consensus import build_plq, select_read_ids
 from daccord_tpu.oracle.dbg import window_consensus
 from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
-from daccord_tpu.pipeline.batcher import bucket_d1, collect_batch, dispatch_batch
-from daccord_tpu.pipeline.windows import ReadCache, extract_windows, realign_pile
+from daccord_tpu.pipeline.batcher import bucket_d1, e_q6_of
+from daccord_tpu.pipeline.windows import ReadCache, realign_pile
 from daccord_tpu.utils.config import DaccordConfig
 from daccord_tpu.utils.jaxsetup import setup_compilation_cache
 
@@ -41,10 +41,6 @@ class RunStats:
     k2_retries: int = 0
     fragments: int = 0
     batches: int = 0
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
@@ -145,7 +141,6 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 chunk = bjobs[off:off + BS]
                 S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
                                                 cfg, BS, d1)
-                from daccord_tpu.pipeline.batcher import e_q6_of
                 out = _cstep(S, slen, nstr, plq_src, plq_snk, k=cfg.k,
                              w=cfg.w, path_delta=cfg.path_delta,
                              e_q6=e_q6_of(cfg))
