@@ -1,0 +1,78 @@
+"""``daccord-dist`` — multi-host / multi-process correction launcher.
+
+The TPU-native replacement for the reference's cluster-scheduler scale-out
+(SURVEY §2.4 'communication backend', §5 'distributed'): each process
+corrects one work-planned read range (the computeintervals analog) and
+writes an atomic part + manifest; completed parts are skipped on restart
+(idempotent re-run = the reference's -J re-run model).
+
+Process placement:
+  - explicit:  --part I --nparts N        (cluster job arrays, one per host)
+  - jax.distributed: --jax-dist           (process_id/num_processes from the
+    pod runtime via jax.distributed.initialize; one process per host)
+
+After all parts exist, any process (or the operator) runs --merge.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from daccord_tpu.tools.common import add_daccord_flags, config_from_args
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="daccord-dist")
+    p.add_argument("las", nargs="+")
+    p.add_argument("db")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--nparts", type=int, default=None)
+    p.add_argument("--part", type=int, default=None)
+    p.add_argument("--jax-dist", action="store_true",
+                   help="derive part/nparts from jax.distributed")
+    p.add_argument("--use-mesh", action="store_true",
+                   help="shard window batches over this process's devices")
+    p.add_argument("--merge", metavar="DEST", default=None,
+                   help="merge completed parts into DEST and exit")
+    p.add_argument("--oracle", action="store_true")
+    add_daccord_flags(p)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    from daccord_tpu.parallel.distributed import (
+        merge_parts, missing_parts, run_part,
+    )
+
+    if args.jax_dist:
+        import jax
+        jax.distributed.initialize()
+        part = jax.process_index()
+        nparts = jax.process_count()
+    else:
+        part, nparts = args.part, args.nparts
+
+    las = args.las if len(args.las) > 1 else args.las[0]
+    if args.merge is not None:
+        missing = missing_parts(args.db, las, nparts, args.outdir)
+        if missing:
+            print(f"[daccord-dist] cannot merge: missing parts {missing}",
+                  file=sys.stderr)
+            return 1
+        n = merge_parts(args.outdir, nparts, args.merge)
+        print(f"[daccord-dist] merged {nparts} parts -> {args.merge} "
+              f"({n} records)", file=sys.stderr)
+        return 0
+
+    if part is None or nparts is None:
+        p.error("need --part/--nparts or --jax-dist")
+    entry = run_part(args.db, las, cfg, part, nparts, args.outdir,
+                     use_oracle=args.oracle, use_mesh=args.use_mesh)
+    print(f"[daccord-dist] part {part}/{nparts}: {entry['records']} records "
+          f"(reads {entry['interval']})", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,3 +129,28 @@ def test_daccord_save_eprof_roundtrip(dataset, tmp_path):
     assert main([las_path, db_path, "--oracle", "--out", o2, "-I", "0,2",
                  "-E", ep]) == 0
     assert open(o1).read() == open(o2).read()
+
+
+def test_daccord_dist_parts_and_merge(dataset, tmp_path):
+    _, db_path, las_path, _ = dataset
+    from daccord_tpu.tools.daccord_dist import main
+    outdir = str(tmp_path / "parts")
+    for p in range(2):
+        assert main([las_path, db_path, "--outdir", outdir, "--part", str(p),
+                     "--nparts", "2", "--oracle"]) == 0
+    dest = str(tmp_path / "all.fasta")
+    assert main([las_path, db_path, "--outdir", outdir, "--nparts", "2",
+                 "--merge", dest]) == 0
+    from daccord_tpu.formats.fasta import read_fasta
+    from daccord_tpu.oracle.consensus import run_oracle
+    from daccord_tpu.utils.config import DaccordConfig
+    single, _ = run_oracle(db_path, las_path, DaccordConfig())
+    assert list(read_fasta(dest)) == single
+
+
+def test_daccord_dist_merge_refuses_missing(dataset, tmp_path):
+    _, db_path, las_path, _ = dataset
+    from daccord_tpu.tools.daccord_dist import main
+    outdir = str(tmp_path / "parts0")
+    assert main([las_path, db_path, "--outdir", outdir, "--nparts", "2",
+                 "--merge", str(tmp_path / "x.fa")]) == 1
