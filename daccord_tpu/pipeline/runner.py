@@ -115,9 +115,12 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     else:
         _cstep = _single_step
 
-    # phase A: threaded front-half only (device dispatch under GIL contention
-    # with numpy workers measured 2x slower than phasing; keep phases apart)
-    nworkers = cfg.t if cfg.t > 0 else (os.cpu_count() or 4)
+    # phase A: front-half. Default single worker: the row-table front half
+    # is GIL-bound python around GIL-releasing C++ DP calls, and threads
+    # measured strictly slower (0.7s serial vs 1.3s at 4 workers on the
+    # bench dataset); -t opts into workers for datasets where the C++ DP
+    # share dominates.
+    nworkers = cfg.t if cfg.t > 0 else 1
     with log.phase("front_half"):
         with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
             results = list(ex.map(front_half, enumerate(read_ids)))
