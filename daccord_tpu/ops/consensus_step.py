@@ -214,21 +214,21 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     # TPU layout: the DP row axis j (Wp+1 ~ 49) goes FIRST (sublanes); the
     # problem axes (B, nT, D1) fill the lanes.  D[i][slen] is captured at
     # i == lc via a one-hot multiply-reduce (no per-column gathers).
-    # int16 rows: all DP values are bounded by LC + Wp < 2^15 (exactness kept,
+    # int8 rows: all DP values are bounded by LC + Wp < 2^7 (exactness kept,
     # HBM traffic halved).
-    jr_c = jnp.arange(Wp + 1, dtype=jnp.int16)[:, None, None, None]
-    row0 = jnp.broadcast_to(jr_c, (Wp + 1, B, nT, D1)).astype(jnp.int16)
+    jr_c = jnp.arange(Wp + 1, dtype=jnp.int8)[:, None, None, None]
+    row0 = jnp.broadcast_to(jr_c, (Wp + 1, B, nT, D1)).astype(jnp.int8)
     out0 = jnp.broadcast_to(slen[:, None, :], (B, nT, D1)).astype(jnp.int32)
     ST = S.transpose(2, 0, 1)[:, :, None, :]                 # [Wp,B,1,D1]
-    end_onehot = (jr_c == slen[None, :, None, :].astype(jnp.int16)
-                  ).astype(jnp.int16)
+    end_onehot = (jr_c == slen[None, :, None, :].astype(jnp.int8)
+                  ).astype(jnp.int8)
 
     def sc_row(row, i):
         ci = jnp.take_along_axis(
             cands, ((i - 1) * jnp.ones((B, nT, 1), jnp.int32)), axis=2)
-        sub = (ci[None, :, :, 0:1] != ST).astype(jnp.int16)  # [Wp,B,nT,D1]
-        tmp = jnp.minimum(row[:-1] + sub, row[1:] + jnp.int16(1))
-        headc = jnp.full((1, B, nT, D1), 0, jnp.int16) + i.astype(jnp.int16)
+        sub = (ci[None, :, :, 0:1] != ST).astype(jnp.int8)  # [Wp,B,nT,D1]
+        tmp = jnp.minimum(row[:-1] + sub, row[1:] + jnp.int8(1))
+        headc = jnp.full((1, B, nT, D1), 0, jnp.int8) + i.astype(jnp.int8)
         t2 = jnp.concatenate([headc, tmp], axis=0) - jr_c
         acc = jax.lax.associative_scan(jnp.minimum, t2, axis=0)
         return acc + jr_c
