@@ -5,8 +5,8 @@ The TPU-first reformulation of the reference's per-window pointer-chasing
 a batch of B windows is processed as dense integer tensors over the bounded
 k-mer universe 4^k:
 
-- (k+1)-mer edge counts  EC  [B, 4^(k+1)]   (scatter-add)
-- source/sink scores     SRC/SNK [B, 4^k]   (Q16-weighted scatter-add)
+- (k+1)-mer edge counts  EC  [B, 4^(k+1)]   (one-hot matmul histogram, MXU)
+- source/sink scores     SRC/SNK [B, 4^k]   (Q16-weighted one-hot matmuls)
 - heaviest path          max-plus DP over T steps; the predecessor relation
   u = (c << 2(k-1)) | (v >> 2) makes each DP step a pure
   reshape [B,4^k]->[B,4,4^(k-1)] + broadcast add + max over the c axis —
@@ -87,28 +87,46 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     ecodes = kcodes[..., :P2] * 4 + Si[..., k:k + P2]
     evalid = (pos2[None, None, :] + k + 1 <= slen[:, :, None]) & dvalid[:, :, None]
 
-    # invalid codes may contain PAD digits and exceed 4^k: route them fully
-    # out of range so mode="drop" discards them (they must never land in a
-    # neighboring batch row's region)
-    boff = (jnp.arange(B, dtype=jnp.int32) * M)[:, None, None]
-    kidx = jnp.where(kvalid, kcodes + boff, B * M).reshape(-1)
-    src = jnp.zeros((B * M,), jnp.int32).at[kidx].add(
-        (plq_src[None, None, :P1] * kvalid).reshape(-1), mode="drop").reshape(B, M)
-    snk = jnp.zeros((B * M,), jnp.int32).at[kidx].add(
-        (plq_snk[None, None, :P1] * kvalid).reshape(-1), mode="drop").reshape(B, M)
+    # ---- k-mer histograms as MXU one-hot matmuls (the dense TPU-native
+    # histogram): count[b, hi, lo] = sum_p onehot_hi[b,p,hi] * onehot_lo[b,p,lo]
+    # — an outer-product accumulation over positions, i.e. one batched matmul
+    # per table.  Exactness: indicator products are 0/1; per-bin sums are
+    # < 2^24 so f32 accumulation is exact; Q16 weights (< 2^17) require f32
+    # inputs (bf16 would round them).  Invalid codes (PAD digits) are zeroed
+    # via the validity mask; out-of-range hi bins one-hot to nothing.
+    def _onehot(codes, bits, dtype):
+        nb = 1 << bits
+        return (codes[..., None] == jnp.arange(nb, dtype=jnp.int32)
+                ).astype(dtype)
 
-    # Edge counts are scattered directly into the TPU-friendly layout
-    # [B, 4(c), 4(bb), M1(h)] — the big axis LAST so VPU lanes are full
-    # (a trailing axis of 4 runs at ~3% lane utilization).  (k+1)-mer code
-    # e = c*4^k + h*4 + bb  =>  in-batch index ((c<<2)|bb)*M1 + h.
-    e_c = ecodes >> (2 * k)
-    e_bb = ecodes & 3
-    e_h = (ecodes >> 2) & (M1 - 1)
-    eloc = ((e_c << 2) | e_bb) * M1 + e_h
-    boff2 = (jnp.arange(B, dtype=jnp.int32) * (4 * M))[:, None, None]
-    eidx = jnp.where(evalid, eloc + boff2, B * 4 * M).reshape(-1)
-    ec = jnp.zeros((B * 4 * M,), jnp.int32).at[eidx].add(
-        evalid.astype(jnp.int32).reshape(-1), mode="drop").reshape(B, 4, 4, M1)
+    kb = k  # 2k bits split kb/kb... split as hi=k bits, lo=k bits
+    kc_flat = kcodes.reshape(B, D1 * P1)
+    kmask = kvalid.reshape(B, D1 * P1)
+    khi = _onehot(kc_flat >> k, k, jnp.float32)          # [B,Pf,2^k]
+    klo = _onehot(kc_flat & ((1 << k) - 1), k, jnp.float32)
+    wsrc = (jnp.broadcast_to(plq_src[None, None, :P1], (B, D1, P1))
+            .reshape(B, D1 * P1).astype(jnp.float32) * kmask)
+    wsnk = (jnp.broadcast_to(plq_snk[None, None, :P1], (B, D1, P1))
+            .reshape(B, D1 * P1).astype(jnp.float32) * kmask)
+    src = jnp.einsum("bph,bpl->bhl", khi * wsrc[:, :, None], klo,
+                     preferred_element_type=jnp.float32
+                     ).reshape(B, M).astype(jnp.int32)
+    snk = jnp.einsum("bph,bpl->bhl", khi * wsnk[:, :, None], klo,
+                     preferred_element_type=jnp.float32
+                     ).reshape(B, M).astype(jnp.int32)
+
+    eb = k + 1  # 2(k+1) bits split (k+1)/(k+1)
+    ec_flat = ecodes.reshape(B, D1 * P2)
+    emask = evalid.reshape(B, D1 * P2)
+    ehi = (_onehot(ec_flat >> eb, eb, jnp.bfloat16)
+           * emask[:, :, None].astype(jnp.bfloat16))     # [B,Pf,2^(k+1)]
+    elo = _onehot(ec_flat & ((1 << eb) - 1), eb, jnp.bfloat16)
+    ecn = jnp.einsum("bph,bpl->bhl", ehi, elo,
+                     preferred_element_type=jnp.float32
+                     ).reshape(B, 4 ** (k + 1)).astype(jnp.int32)
+    # natural e = c*4^k + h*4 + bb  ->  TPU-friendly [B, 4(c), 4(bb), M1(h)]
+    # (big axis LAST so VPU lanes are full in the DP)
+    ec = ecn.reshape(B, 4, M1, 4).transpose(0, 1, 3, 2)
     # ec[b, c, bb, h]: count of edge u=(c,h) -> v=(h,bb).  Stored int16
     # (counts < 2^15) with -1 as the no-edge sentinel: halves the HBM read
     # per DP step; widened to int32/NEG in-register at use.
