@@ -25,7 +25,7 @@ import numpy as np
 
 from daccord_tpu.align.editdp import batch_bpos_at
 from daccord_tpu.formats.las import Overlap, trace_block_bounds
-from daccord_tpu.pipeline.windows import ReadCache, RealignedOverlap, _lattice
+from daccord_tpu.pipeline.windows import ReadCache, RealignedOverlap
 from daccord_tpu.utils.config import DaccordConfig
 
 

@@ -91,6 +91,57 @@ def pile_block_batch(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     return Abuf, la, Bbuf, lb, owners
 
 
+def _pile_block_arrays(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
+                       tspace: int):
+    """Vectorized block metadata + padded DP buffers for a whole pile.
+
+    Returns (Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0) with all arrays
+    built by ragged numpy ops (python loops only over the ~pile-size overlap
+    list, never over blocks).
+    """
+    nov = len(pile)
+    bseqs = [cache.get(o.bread, o.is_comp) for o in pile]
+    nblk = np.array([len(o.trace) for o in pile], dtype=np.int64)
+    # per-block A boundaries and B starts
+    a0_l, a1_l, b0_l = [], [], []
+    for o in pile:
+        bounds = trace_block_bounds(o.abpos, o.aepos, tspace)
+        a0_l.append(bounds[:-1])
+        a1_l.append(bounds[1:])
+        badv = o.trace[:, 1].astype(np.int64)
+        b0_l.append(o.bbpos + np.concatenate([[0], np.cumsum(badv)[:-1]]))
+    blk_a0 = np.concatenate(a0_l) if a0_l else np.zeros(0, np.int64)
+    blk_a1 = np.concatenate(a1_l) if a1_l else np.zeros(0, np.int64)
+    blk_b0 = np.concatenate(b0_l) if b0_l else np.zeros(0, np.int64)
+    blk_owner = np.repeat(np.arange(nov), nblk)
+    la = (blk_a1 - blk_a0).astype(np.int64)
+    lb = np.concatenate([o.trace[:, 1].astype(np.int64) for o in pile]) \
+        if pile else np.zeros(0, np.int64)
+    N = len(blk_a0)
+    LA = max(int(la.max()), 1) if N else 1
+    LB = max(int(lb.max()), 1) if N else 1
+
+    # ragged copies: A segments from A; B' segments from the bseq pool
+    bseq_lens = np.array([len(s) for s in bseqs], dtype=np.int64)
+    bseq_offs = np.concatenate([[0], np.cumsum(bseq_lens)])
+    bpool = np.concatenate(bseqs) if bseqs else np.zeros(0, np.uint8)
+
+    def ragged_fill(dst, starts, lens, srcpool):
+        total = int(lens.sum())
+        if not total:
+            return
+        reps = np.repeat(np.arange(len(lens)), lens)
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        dst.reshape(-1)[reps * dst.shape[1] + within] = \
+            srcpool[starts[reps] + within]
+
+    Abuf = np.full((N, LA), PAD, dtype=np.uint8)
+    Bbuf = np.full((N, LB), PAD, dtype=np.uint8)
+    ragged_fill(Abuf, blk_a0, la, A)
+    ragged_fill(Bbuf, bseq_offs[blk_owner] + blk_b0, lb, bpool)
+    return Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0
+
+
 def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
                  tspace: int, want_ops: bool = False,
                  w: int = 40, a: int = 10):
@@ -106,8 +157,6 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     if not pile:
         return [], (np.zeros((0, 4), dtype=np.int64) if want_ops else None)
 
-    Abuf, la, Bbuf, lb, owners = pile_block_batch(A, pile, cache, tspace)
-    N = len(owners)
     realigned: List[RealignedOverlap] = []
     for oi, o in enumerate(pile):
         bmap = np.zeros(o.aepos - o.abpos + 1, dtype=np.int64)
@@ -116,6 +165,7 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
 
     if want_ops:
         # traceback path: needed only for error-profile op counts (eprof)
+        Abuf, la, Bbuf, lb, owners = pile_block_batch(A, pile, cache, tspace)
         _, bpos, ops = batch_realign(Abuf, la, Bbuf, lb, want_ops=True)
         for n, (oi, a0, b0) in enumerate(owners):
             o = pile[oi]
@@ -124,27 +174,51 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
             realigned[oi].bmap[a0 - o.abpos:a0 - o.abpos + blk_len + 1] = seg
         return realigned, ops
 
-    # window-boundary lattice positions per block (global A coords)
+    Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0 = _pile_block_arrays(
+        A, pile, cache, tspace)
+    N = len(blk_a0)
+    if N == 0:
+        return realigned, None
+
+    # window-boundary lattice positions per block, fully vectorized:
+    # for each remainder class r, positions p in [a0, a1] with p % a == r
     rems = sorted({0, w % a})
-    pos_lists = []
-    for n, (oi, a0, b0) in enumerate(owners):
-        hi = a0 + int(la[n])
-        ps = np.concatenate([_lattice(a0, hi, a, r) for r in rems])
-        ps.sort()
-        pos_lists.append(ps)
-    PX = max((len(p) for p in pos_lists), default=1) or 1
+    hi = blk_a0 + la
+    starts, counts = [], []
+    for r in rems:
+        st = blk_a0 + ((r - blk_a0) % a)
+        cnt = np.maximum((hi - st) // a + 1, 0)
+        cnt = np.where(st > hi, 0, cnt)
+        starts.append(st)
+        counts.append(cnt)
+    cnt_tot = sum(counts)
+    PX = max(int(cnt_tot.max()), 1)
     X = np.zeros((N, PX), dtype=np.int64)
-    for n, ps in enumerate(pos_lists):
-        a0 = owners[n][1]
-        X[n, :len(ps)] = ps - a0          # local block coords
-        X[n, len(ps):] = 0                # padded slots recompute x=0 (cheap)
+    col_base = np.zeros(N, dtype=np.int64)
+    for st, cnt in zip(starts, counts):
+        total = int(cnt.sum())
+        if total:
+            reps = np.repeat(np.arange(N), cnt)
+            within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            X[reps, col_base[reps] + within] = \
+                st[reps] + within * a - blk_a0[reps]   # local block coords
+        col_base += cnt
+    # padded slots recompute x=0 (cheap, ignored on write-back)
     bp_at = batch_bpos_at(Abuf, la, Bbuf, lb, X)
-    # write maps; later blocks overwrite shared boundaries (local x=0 -> b0,
-    # the exact trace cumsum), preserving the chained-boundary convention
-    for n, (oi, a0, b0) in enumerate(owners):
-        o = pile[oi]
-        ps = pos_lists[n]
-        realigned[oi].bmap[ps - o.abpos] = bp_at[n, :len(ps)] + b0
+
+    # write maps per overlap (blocks are grouped by overlap, in order; later
+    # blocks overwrite shared boundaries with local x=0 -> b0, the exact
+    # trace cumsum, preserving the chained-boundary convention)
+    col = np.arange(PX, dtype=np.int64)[None, :]
+    valid = col < cnt_tot[:, None]
+    gpos = X + blk_a0[:, None]
+    gval = bp_at + blk_b0[:, None]
+    nblk_per = np.bincount(blk_owner, minlength=len(pile))
+    bnd = np.concatenate([[0], np.cumsum(nblk_per)])
+    for oi, o in enumerate(pile):
+        sl = slice(int(bnd[oi]), int(bnd[oi + 1]))
+        m = valid[sl]
+        realigned[oi].bmap[gpos[sl][m] - o.abpos] = gval[sl][m]
     return realigned, None
 
 
