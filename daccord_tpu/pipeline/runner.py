@@ -43,6 +43,57 @@ class RunStats:
     batches: int = 0
 
 
+def _front_half_device(db, las, cfg, read_ids):
+    """Front half with the trace-block DPs batched onto the device:
+    prepare every pile on host, run ONE device_bpos_at over all blocks,
+    then finish maps + row extraction (ops/realign_dp.py)."""
+    from daccord_tpu.ops.realign_dp import device_bpos_at
+    from daccord_tpu.pipeline.rows import extract_rows
+    from daccord_tpu.pipeline.windows import (
+        finish_pile, make_skeleton, prepare_pile,
+    )
+
+    cache = ReadCache(db)
+    entries = []
+    for slot, aread in enumerate(read_ids):
+        A = db.read_codes(aread)
+        pile = las.pile(aread)
+        skel = make_skeleton(pile, cache)
+        prep = prepare_pile(A, pile, cache, las.tspace, cfg.w, cfg.a)
+        entries.append((A, pile, skel, prep))
+
+    live = [e for e in entries if e[3] is not None]
+    if live:
+        LA = max(e[3]["Abuf"].shape[1] for e in live)
+        LB = max(e[3]["Bbuf"].shape[1] for e in live)
+        PX = max(e[3]["X"].shape[1] for e in live)
+        Ns = [len(e[3]["la"]) for e in live]
+        Ntot = sum(Ns)
+        Ab = np.full((Ntot, LA), 4, np.uint8)
+        Bb = np.full((Ntot, LB), 4, np.uint8)
+        la = np.zeros(Ntot, np.int64)
+        lb = np.zeros(Ntot, np.int64)
+        X = np.zeros((Ntot, PX), np.int64)
+        off = 0
+        for e in live:
+            p = e[3]
+            n = len(p["la"])
+            Ab[off:off + n, :p["Abuf"].shape[1]] = p["Abuf"]
+            Bb[off:off + n, :p["Bbuf"].shape[1]] = p["Bbuf"]
+            la[off:off + n] = p["la"]
+            lb[off:off + n] = p["lb"]
+            X[off:off + n, :p["X"].shape[1]] = p["X"]
+            off += n
+        bp_all = device_bpos_at(Ab, la, Bb, lb, X)
+        off = 0
+        for e in live:
+            p = e[3]
+            n = len(p["la"])
+            finish_pile(p, e[1], e[2], bp_all[off:off + n, :p["X"].shape[1]])
+            off += n
+    return [extract_rows(A, skel, cfg) for (A, pile, skel, prep) in entries]
+
+
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             profile: Optional[ErrorProfile] = None,
             use_mesh: Optional[bool] = None
@@ -122,9 +173,12 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     # share dominates.
     nworkers = cfg.t if cfg.t > 0 else 1
     with log.phase("front_half"):
-        with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
-            results = list(ex.map(front_half, enumerate(read_ids)))
-        reads_rows = [rr for _, rr in sorted(results)]
+        if cfg.realign_device:
+            reads_rows = _front_half_device(db, las, cfg, read_ids)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
+                results = list(ex.map(front_half, enumerate(read_ids)))
+            reads_rows = [rr for _, rr in sorted(results)]
         rpool = RowPool(reads_rows)
     # phase B: bucket windows + dispatch padded batches (async enqueue)
     plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)

@@ -174,11 +174,27 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
             realigned[oi].bmap[a0 - o.abpos:a0 - o.abpos + blk_len + 1] = seg
         return realigned, ops
 
+    prep = prepare_pile(A, pile, cache, tspace, w, a)
+    if prep is None:
+        return realigned, None
+    bp_at = batch_bpos_at(prep["Abuf"], prep["la"], prep["Bbuf"], prep["lb"],
+                          prep["X"])
+    finish_pile(prep, pile, realigned, bp_at)
+    return realigned, None
+
+
+def prepare_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
+                 tspace: int, w: int, a: int):
+    """Non-DP half of realign_pile: padded block buffers + lattice X.
+
+    Returns a dict consumed by finish_pile (plus the DP inputs), or None for
+    piles with no blocks.  Split out so a caller can batch MANY piles' DPs
+    into one device call (ops/realign_dp.py)."""
     Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0 = _pile_block_arrays(
         A, pile, cache, tspace)
     N = len(blk_a0)
     if N == 0:
-        return realigned, None
+        return None
 
     # window-boundary lattice positions per block, fully vectorized:
     # for each remainder class r, positions p in [a0, a1] with p % a == r
@@ -204,22 +220,36 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
                 st[reps] + within * a - blk_a0[reps]   # local block coords
         col_base += cnt
     # padded slots recompute x=0 (cheap, ignored on write-back)
-    bp_at = batch_bpos_at(Abuf, la, Bbuf, lb, X)
+    return {"Abuf": Abuf, "la": la, "Bbuf": Bbuf, "lb": lb, "X": X,
+            "cnt_tot": cnt_tot, "blk_owner": blk_owner, "blk_a0": blk_a0,
+            "blk_b0": blk_b0}
 
-    # write maps per overlap (blocks are grouped by overlap, in order; later
-    # blocks overwrite shared boundaries with local x=0 -> b0, the exact
-    # trace cumsum, preserving the chained-boundary convention)
+
+def finish_pile(prep: dict, pile: List[Overlap],
+                realigned: List[RealignedOverlap], bp_at: np.ndarray) -> None:
+    """Write the A->B maps back (later blocks overwrite shared boundaries
+    with local x=0 -> b0, the exact trace cumsum, preserving the
+    chained-boundary convention)."""
+    X = prep["X"]
+    PX = X.shape[1]
     col = np.arange(PX, dtype=np.int64)[None, :]
-    valid = col < cnt_tot[:, None]
-    gpos = X + blk_a0[:, None]
-    gval = bp_at + blk_b0[:, None]
-    nblk_per = np.bincount(blk_owner, minlength=len(pile))
+    valid = col < prep["cnt_tot"][:, None]
+    gpos = X + prep["blk_a0"][:, None]
+    gval = bp_at + prep["blk_b0"][:, None]
+    nblk_per = np.bincount(prep["blk_owner"], minlength=len(pile))
     bnd = np.concatenate([[0], np.cumsum(nblk_per)])
     for oi, o in enumerate(pile):
         sl = slice(int(bnd[oi]), int(bnd[oi + 1]))
         m = valid[sl]
         realigned[oi].bmap[gpos[sl][m] - o.abpos] = gval[sl][m]
-    return realigned, None
+
+
+def make_skeleton(pile: List[Overlap], cache: ReadCache
+                  ) -> List[RealignedOverlap]:
+    """Empty RealignedOverlap list (bmap zeros) for a pile."""
+    return [RealignedOverlap(
+        ovl=o, bseq=cache.get(o.bread, o.is_comp),
+        bmap=np.zeros(o.aepos - o.abpos + 1, dtype=np.int64)) for o in pile]
 
 
 @dataclasses.dataclass

@@ -38,6 +38,8 @@ class DaccordConfig:
 
     # --- device batching knobs (shape menu; SURVEY §7.3 item 2) ---
     batch_windows: int = 256   # windows per device batch
+    realign_device: bool = False  # trace-block realignment on the device
+                                  # (ops/realign_dp.py) instead of host C++
     # default error profile when no -E artifact given (ALGORITHM §7)
     default_e_sub: float = 0.03
     default_e_ins: float = 0.08

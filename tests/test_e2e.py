@@ -46,3 +46,12 @@ def test_mesh_sharded_pipeline_equals_oracle(dataset):
     oracle_recs, _ = run_oracle(db_path, las_path, cfg)
     tpu_recs, _ = run_tpu(db_path, las_path, cfg, use_mesh=True)
     assert tpu_recs == oracle_recs
+
+
+def test_device_realign_pipeline_equals_oracle(dataset):
+    """realign_device=True path == oracle (device trace-block DPs)."""
+    ds, db_path, las_path = dataset
+    cfg = DaccordConfig(I=(0, 3), batch_windows=64, realign_device=True)
+    oracle_recs, _ = run_oracle(db_path, las_path, cfg.replace(realign_device=False))
+    tpu_recs, _ = run_tpu(db_path, las_path, cfg)
+    assert tpu_recs == oracle_recs
