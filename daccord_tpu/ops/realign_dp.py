@@ -80,7 +80,7 @@ def _bpos_kernel(At, Bt, Art, Brt, la, lb, X):
 
 def device_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
                    lb: np.ndarray, X: np.ndarray,
-                   chunk: int = 131072) -> np.ndarray:
+                   chunk: int = 16384) -> np.ndarray:
     """Drop-in for align.editdp.batch_bpos_at, computed on the device.
 
     Pads N up to a lane multiple and chunks very large batches to bound the
