@@ -97,13 +97,23 @@ def main():
 
     oracle_rps, oracle_hash = oracle_baseline(db, las, cfg)
 
-    # correctness gate on the oracle subset: device path must byte-match
+    # correctness gate on the oracle subset: device path must byte-match.
+    # A mismatch is FATAL (a silently-wrong perf number is worse than a
+    # failed bench): emit a flagged JSON line and exit nonzero.
     sub = cfg.replace(I=(0, ORACLE_READS))
     recs_dev, _ = run_tpu(db, las, sub)
     import hashlib
     dev_hash = hashlib.sha256(repr(recs_dev).encode()).hexdigest()[:16]
     if dev_hash != oracle_hash:
-        log("bench: WARNING device output != oracle output on subset!")
+        log("bench: FATAL device output != oracle output on subset!")
+        print(json.dumps({
+            "metric": "corrected_reads_per_s_per_chip",
+            "value": 0.0,
+            "unit": "reads/s",
+            "vs_baseline": 0.0,
+            "correct": False,
+        }), flush=True)
+        sys.exit(1)
 
     # timed full run (includes host pile realign + device consensus + stitch);
     # warm-up first: every depth-bucket shape is compiled AND executed once
@@ -140,6 +150,7 @@ def main():
         "value": round(rps, 3),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
+        "correct": True,
     }), flush=True)
 
 

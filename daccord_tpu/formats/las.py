@@ -140,12 +140,20 @@ class LasFile:
         """aread -> (file offset of first record, record count). Cached on disk."""
         if self._index is not None:
             return self._index
+        las_size = os.path.getsize(self.path)
         if os.path.exists(self.index_path) and (
                 os.path.getmtime(self.index_path) >= os.path.getmtime(self.path)):
             z = np.load(self.index_path)
-            self._index = {"areads": z["areads"], "offsets": z["offsets"],
-                           "counts": z["counts"]}
-            return self._index
+            # mtime alone is not enough (a .las rewritten within mtime
+            # granularity, or copied with preserved timestamps, would reuse a
+            # stale index): require the recorded novl + file size to match too
+            stamp_ok = ("novl" in z and "las_size" in z
+                        and int(z["novl"]) == self.novl
+                        and int(z["las_size"]) == las_size)
+            if stamp_ok:
+                self._index = {"areads": z["areads"], "offsets": z["offsets"],
+                               "counts": z["counts"]}
+                return self._index
         areads, offsets, counts = [], [], []
         unit = 1 if self.small else 2
         with open(self.path, "rb") as f:
@@ -164,11 +172,20 @@ class LasFile:
                 counts[-1] += 1
                 f.seek(tlen * unit, 1)
                 pos += RECORD_FIXED + tlen * unit
-        self._index = {"areads": np.array(areads, dtype=np.int64),
+        areads_arr = np.array(areads, dtype=np.int64)
+        if len(areads_arr) > 1 and not np.all(np.diff(areads_arr) > 0):
+            # pile() binary-searches this array; unsorted or split aread
+            # groups (e.g. concatenated block outputs never LAmerge'd) would
+            # silently yield wrong/partial piles — refuse instead
+            raise ValueError(
+                f"{self.path}: records are not sorted by aread (or an aread "
+                "appears in more than one group); sort/merge the .las first")
+        self._index = {"areads": areads_arr,
                        "offsets": np.array(offsets, dtype=np.int64),
                        "counts": np.array(counts, dtype=np.int64)}
         try:
-            np.savez(self.index_path, **self._index)
+            np.savez(self.index_path, novl=np.int64(self.novl),
+                     las_size=np.int64(las_size), **self._index)
         except OSError:
             pass  # read-only dir: keep in-memory index
         return self._index
@@ -229,13 +246,11 @@ class MultiLas:
 
     def pile_counts(self):
         """(areads, summed record counts) across files."""
-        tot: dict = {}
-        for f in self.files:
-            a, c = f.pile_counts()
-            for ai, ci in zip(a.tolist(), c.tolist()):
-                tot[ai] = tot.get(ai, 0) + ci
-        areads = np.array(sorted(tot), dtype=np.int64)
-        counts = np.array([tot[a] for a in areads], dtype=np.int64)
+        a_all = np.concatenate([f.pile_counts()[0] for f in self.files])
+        c_all = np.concatenate([f.pile_counts()[1] for f in self.files])
+        areads, inv = np.unique(a_all, return_inverse=True)
+        counts = np.zeros(len(areads), dtype=np.int64)
+        np.add.at(counts, inv, c_all)
         return areads, counts
 
 

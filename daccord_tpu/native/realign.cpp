@@ -12,7 +12,8 @@
 // DP on the reversed strings.  ~3 ops/cell scalar; threaded over problems.
 //
 // Build: g++ -O3 -shared -fPIC -o librealign.so realign.cpp -lpthread
-// ABI consumed via ctypes (daccord_tpu/align/native.py).
+// ABI consumed via ctypes (built by daccord_tpu/native/build.py,
+// bound in daccord_tpu/align/editdp.py).
 
 #include <cstdint>
 #include <cstring>

@@ -99,6 +99,18 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         return (codes[..., None] == jnp.arange(nb, dtype=jnp.int32)
                 ).astype(dtype)
 
+    # integer-exactness preconditions of the f32/bf16 matmul histograms
+    # (assert at trace time so a future config violating them fails loudly
+    # instead of silently rounding): f32 accumulation is exact only while
+    # per-bin sums stay < 2^24.  src/snk bins sum Q16 weights whose columns
+    # are normalized to ~2^16 (offset_likely_q16), so the bound is D1 * 2^16;
+    # edge bins sum 0/1 indicators, so the bound is D1 * P2.
+    assert plq_src.dtype == jnp.int32 and plq_snk.dtype == jnp.int32
+    assert D1 * 65536 < 2 ** 24, \
+        f"src/snk Q16 bins can exceed 2^24 (D1={D1}): f32 not exact"
+    assert D1 * P2 < 2 ** 24, \
+        f"edge-count bins can exceed 2^24 (D1={D1}, P2={P2}): f32 not exact"
+
     kb = k  # 2k bits split kb/kb... split as hi=k bits, lo=k bits
     kc_flat = kcodes.reshape(B, D1 * P1)
     kmask = kvalid.reshape(B, D1 * P1)

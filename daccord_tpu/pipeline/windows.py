@@ -20,8 +20,23 @@ import numpy as np
 
 from daccord_tpu.align.editdp import PAD, batch_bpos_at, batch_realign
 from daccord_tpu.formats.dazzler_db import DazzlerDB
-from daccord_tpu.formats.las import Overlap, trace_block_bounds
+from daccord_tpu.formats.las import Overlap, n_trace_blocks, trace_block_bounds
 from daccord_tpu.utils.config import DaccordConfig
+
+
+def check_pile_traces(pile: List[Overlap], tspace: int) -> None:
+    """Validate each record's trace-block count against its A range.
+
+    A malformed .las whose tlen/2 disagrees with the blocks implied by
+    (abpos, aepos, tspace) would otherwise surface as an opaque IndexError
+    deep in the block loops; raise a descriptive error up front instead."""
+    for o in pile:
+        want = n_trace_blocks(o.abpos, o.aepos, tspace)
+        if len(o.trace) != want:
+            raise ValueError(
+                f".las record aread={o.aread} bread={o.bread} "
+                f"[{o.abpos},{o.aepos}) tspace={tspace}: trace has "
+                f"{len(o.trace)} blocks, geometry implies {want}")
 
 
 @dataclasses.dataclass
@@ -156,6 +171,7 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     """
     if not pile:
         return [], (np.zeros((0, 4), dtype=np.int64) if want_ops else None)
+    check_pile_traces(pile, tspace)
 
     realigned: List[RealignedOverlap] = []
     for oi, o in enumerate(pile):
@@ -190,6 +206,7 @@ def prepare_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     Returns a dict consumed by finish_pile (plus the DP inputs), or None for
     piles with no blocks.  Split out so a caller can batch MANY piles' DPs
     into one device call (ops/realign_dp.py)."""
+    check_pile_traces(pile, tspace)
     Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0 = _pile_block_arrays(
         A, pile, cache, tspace)
     N = len(blk_a0)

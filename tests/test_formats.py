@@ -102,3 +102,47 @@ def test_fasta_roundtrip(tmp_path):
     p = str(tmp_path / "x.fasta")
     write_fasta(p, recs)
     assert list(read_fasta(p)) == recs
+
+
+def test_las_unsorted_areads_rejected(tmp_path):
+    """Out-of-contract input (not LAmerge'd) must raise, not mis-pile."""
+    tspace = 100
+    ovls = [_mk_ovl(5, 1, 0, 100, tspace), _mk_ovl(0, 2, 0, 100, tspace)]
+    path = str(tmp_path / "unsorted.las")
+    write_las(path, tspace, ovls)
+    with pytest.raises(ValueError, match="sorted by aread"):
+        LasFile.open(path).build_index()
+    # same aread in two separate groups is equally rejected
+    ovls2 = [_mk_ovl(0, 1, 0, 100, tspace), _mk_ovl(2, 1, 0, 100, tspace),
+             _mk_ovl(0, 3, 0, 100, tspace)]
+    path2 = str(tmp_path / "split.las")
+    write_las(path2, tspace, ovls2)
+    with pytest.raises(ValueError, match="sorted by aread"):
+        LasFile.open(path2).build_index()
+
+
+def test_las_stale_index_detected(tmp_path):
+    """Rewriting the .las with preserved mtime must invalidate the .npz."""
+    import os
+    tspace = 100
+    path = str(tmp_path / "y.las")
+    write_las(path, tspace, [_mk_ovl(0, 1, 0, 100, tspace)])
+    las = LasFile.open(path)
+    las.build_index()
+    st = os.stat(path)
+    # rewrite with different content, restore timestamps (copy-with-mtime)
+    write_las(path, tspace, [_mk_ovl(0, 1, 0, 100, tspace),
+                             _mk_ovl(3, 2, 0, 200, tspace)])
+    os.utime(path, (st.st_atime, st.st_mtime))
+    os.utime(las.index_path, (st.st_atime + 10, st.st_mtime + 10))
+    las2 = LasFile.open(path)
+    assert list(las2.areads()) == [0, 3]  # stale index NOT reused
+
+
+def test_malformed_trace_block_count_rejected(tmp_path):
+    """tlen/2 disagreeing with (abpos, aepos, tspace) raises descriptively."""
+    from daccord_tpu.pipeline.windows import check_pile_traces
+    o = _mk_ovl(0, 1, 5, 250, 100)
+    o.trace = o.trace[:-1]  # drop a block
+    with pytest.raises(ValueError, match="trace has"):
+        check_pile_traces([o], 100)
