@@ -51,30 +51,14 @@ def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
     return acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl"))
-def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
-                   plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
-                   *, k: int, w: int, path_delta: int,
-                   e_q6: int = 1_000_000,
-                   dp_impl: str = "scan") -> ConsensusOut:
-    """One batched consensus pass at k-mer size k.
-
-    S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
-    slen: int32 [B, D1]      string lengths
-    nstr: int32 [B]          valid rows (0 => padding slot / failed window)
-    plq_src/plq_snk: int32 [W'] Q16 offset-likelihood columns o=0 and o=w-k
-    """
+def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                  plq_src: jnp.ndarray, plq_snk: jnp.ndarray, *, k: int):
+    """Stage 1: k-mer/edge histograms -> (src [B,M], snk [B,M], ew16)."""
     B, D1, Wp = S.shape
     M = 4 ** k
     M1 = 4 ** (k - 1)
     P1 = Wp - k + 1
     P2 = Wp - k
-    t_exp = w - k
-    t_lo = max(0, t_exp - path_delta)
-    t_hi = t_exp + path_delta
-    nT = t_hi - t_lo + 1
-    LC = k + t_hi
 
     Si = S.astype(jnp.int32)
     pos1 = jnp.arange(P1, dtype=jnp.int32)
@@ -143,6 +127,14 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     # (counts < 2^15) with -1 as the no-edge sentinel: halves the HBM read
     # per DP step; widened to int32/NEG in-register at use.
     ew16 = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
+    return src, snk, ew16
+
+
+def _dp(ew16: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
+        *, k: int, t_lo: int, t_hi: int, dp_impl: str):
+    """Stage 2: max-plus heaviest-path DP -> (bps, ends [B,nT], endok)."""
+    B, M = src.shape
+    M1 = 4 ** (k - 1)
 
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)       # first max
@@ -213,8 +205,15 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
             # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
             ends = ends_tail.transpose(1, 0)                 # [B, nT]
             endok = endok_tail.transpose(1, 0) & have_src[:, None]
+    return bps, ends, endok
 
-    # ---- traceback: walk all B*nT candidates from their own T ----
+
+def _traceback(bps: jnp.ndarray, ends: jnp.ndarray,
+               *, k: int, t_lo: int, t_hi: int):
+    """Stage 3: decode every (window, T) candidate -> (cands [B,nT,LC], lc)."""
+    B, nT = ends.shape
+    M1 = 4 ** (k - 1)
+    LC = k + t_hi
     Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]    # [1, nT]
     v = ends
     bases = jnp.full((B, nT, t_hi), 0, dtype=jnp.uint8)
@@ -239,6 +238,18 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     lc = (k + Ts).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)  # [B,nT]
     cpos = jnp.arange(LC, dtype=jnp.int32)[None, None, :]
     cands = jnp.where(cpos < lc[:, :, None], cands, PAD).astype(jnp.uint8)
+    return cands, lc
+
+
+def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                cands: jnp.ndarray, lc: jnp.ndarray, endok: jnp.ndarray,
+                *, k: int, w: int, t_lo: int, t_hi: int,
+                e_q6: int) -> ConsensusOut:
+    """Stage 4: batched Levenshtein scoring + first-min winner pick."""
+    B, D1, Wp = S.shape
+    nT = t_hi - t_lo + 1
+    LC = k + t_hi
+    dvalid = (jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None])
 
     # ---- scoring: Levenshtein(cand, s) for every (b, ti, d) ----
     # TPU layout: the DP row axis j (Wp+1 ~ 49) goes FIRST (sublanes); the
@@ -297,3 +308,32 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     winbases = jnp.where(jnp.arange(LC)[None, :] < winlen[:, None],
                          winbases, PAD).astype(jnp.uint8)
     return ConsensusOut(ok=ok, length=winlen, bases=winbases, cost=wincost)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl"))
+def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                   plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
+                   *, k: int, w: int, path_delta: int,
+                   e_q6: int = 1_000_000,
+                   dp_impl: str = "scan") -> ConsensusOut:
+    """One batched consensus pass at k-mer size k.
+
+    S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
+    slen: int32 [B, D1]      string lengths
+    nstr: int32 [B]          valid rows (0 => padding slot / failed window)
+    plq_src/plq_snk: int32 [W'] Q16 offset-likelihood columns o=0 and o=w-k
+
+    The stages (_build_tables -> _dp -> _traceback -> _score_pick) are split
+    out only so they can be profiled / reused individually; under this jit
+    they trace inline exactly as before.
+    """
+    t_exp = w - k
+    t_lo = max(0, t_exp - path_delta)
+    t_hi = t_exp + path_delta
+    src, snk, ew16 = _build_tables(S, slen, nstr, plq_src, plq_snk, k=k)
+    bps, ends, endok = _dp(ew16, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
+                           dp_impl=dp_impl)
+    cands, lc = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
+    return _score_pick(S, slen, nstr, cands, lc, endok, k=k, w=w,
+                       t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)

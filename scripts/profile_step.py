@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-stage on-chip timing of the consensus step (SURVEY §7 perf loop).
+
+Times each stage of ops/consensus_step.py under its own jit at the bench's
+dominant batch shapes, so optimization effort goes to the real bottleneck.
+Run on the real chip (no JAX_PLATFORMS override).  Stage timings include a
+device round trip per iteration; the `full` row is the fused end-to-end step
+(what production runs) and is the number that matters — stage rows are for
+attribution only.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daccord_tpu.ops import consensus_step as cs
+from daccord_tpu.utils.config import DaccordConfig
+
+
+def _sync(out):
+    """Force real completion: fetch one scalar derived from every output
+    (block_until_ready alone does not flush the tunneled axon queue)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    s = sum(jnp.sum(x.astype(jnp.int32) if x.dtype == jnp.bool_ else x)
+            .astype(jnp.int64) for x in leaves)
+    return int(np.asarray(s))
+
+
+def timeit(fn, *args, iters=10, **kw):
+    _sync(fn(*args, **kw))              # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kw)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def synth_inputs(B, D1, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    Wp = cfg.wprime
+    S = rng.integers(0, 4, size=(B, D1, Wp)).astype(np.uint8)
+    # clone row 0 into other rows with light mutation so real paths exist
+    for d in range(1, D1):
+        m = rng.random((B, Wp)) < 0.1
+        S[:, d] = np.where(m, rng.integers(0, 4, size=(B, Wp)), S[:, 0])
+    slen = np.full((B, D1), cfg.w, np.int32)
+    slen[:, 1:] += rng.integers(-2, 3, size=(B, D1 - 1))
+    nstr = np.full((B,), D1, np.int32)
+    return jnp.asarray(S), jnp.asarray(slen), jnp.asarray(nstr)
+
+
+def main():
+    cfg = DaccordConfig(batch_windows=256)
+    from daccord_tpu.oracle.eprof import ErrorProfile
+    from daccord_tpu.oracle.consensus import build_plq
+    plq = build_plq(ErrorProfile(0.03, 0.08, 0.04), cfg)
+    plq_src = jnp.asarray(np.ascontiguousarray(plq[:cfg.wprime, 0], np.int32))
+    plq_snk = jnp.asarray(
+        np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k], np.int32))
+    k, w, pd = cfg.k, cfg.w, cfg.path_delta
+    t_lo, t_hi = w - k - pd, w - k + pd
+
+    j_tables = jax.jit(lambda *a: cs._build_tables(*a, k=k))
+    j_dp = jax.jit(lambda e, s, n: cs._dp(e, s, n, k=k, t_lo=t_lo, t_hi=t_hi,
+                                          dp_impl="scan"))
+    j_tb = jax.jit(lambda b, e: cs._traceback(b, e, k=k, t_lo=t_lo, t_hi=t_hi))
+    j_sc = jax.jit(lambda S, sl, ns, c, l, eo: cs._score_pick(
+        S, sl, ns, c, l, eo, k=k, w=w, t_lo=t_lo, t_hi=t_hi, e_q6=1_000_000))
+    j_full = lambda S, sl, ns: cs.consensus_step(
+        S, sl, ns, plq_src, plq_snk, k=k, w=w, path_delta=pd)
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    for (B, D1) in [(256, 9), (256, 17), (256, 65)]:
+        S, slen, nstr = synth_inputs(B, D1, cfg)
+        src, snk, ew16 = j_tables(S, slen, nstr, plq_src, plq_snk)
+        bps, ends, endok = j_dp(ew16, src, snk)
+        cands, lc = j_tb(bps, ends)
+
+        t_tab = timeit(j_tables, S, slen, nstr, plq_src, plq_snk)
+        t_dp = timeit(j_dp, ew16, src, snk)
+        t_tb = timeit(j_tb, bps, ends)
+        t_sc = timeit(j_sc, S, slen, nstr, cands, lc, endok)
+        t_full = timeit(j_full, S, slen, nstr)
+        print(f"B={B} D1={D1}: tables={t_tab*1e3:7.2f}ms dp={t_dp*1e3:7.2f}ms "
+              f"traceback={t_tb*1e3:7.2f}ms score={t_sc*1e3:7.2f}ms | "
+              f"full={t_full*1e3:7.2f}ms  (sum={1e3*(t_tab+t_dp+t_tb+t_sc):.2f})")
+
+
+if __name__ == "__main__":
+    main()
