@@ -53,7 +53,7 @@ def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
 
 def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                   plq_src: jnp.ndarray, plq_snk: jnp.ndarray, *, k: int):
-    """Stage 1: k-mer/edge histograms -> (src [B,M], snk [B,M], ew16)."""
+    """Stage 1: k-mer/edge histograms -> (src [B,M], snk [B,M], ecn)."""
     B, D1, Wp = S.shape
     M = 4 ** k
     M1 = 4 ** (k - 1)
@@ -120,21 +120,37 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     ecn = jnp.einsum("bph,bpl->bhl", ehi, elo,
                      preferred_element_type=jnp.float32
                      ).reshape(B, 4 ** (k + 1)).astype(jnp.int32)
-    # natural e = c*4^k + h*4 + bb  ->  TPU-friendly [B, 4(c), 4(bb), M1(h)]
-    # (big axis LAST so VPU lanes are full in the DP)
-    ec = ecn.reshape(B, 4, M1, 4).transpose(0, 1, 3, 2)
-    # ec[b, c, bb, h]: count of edge u=(c,h) -> v=(h,bb).  Stored int16
-    # (counts < 2^15) with -1 as the no-edge sentinel: halves the HBM read
-    # per DP step; widened to int32/NEG in-register at use.
-    ew16 = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
-    return src, snk, ew16
+    # natural (k+1)-mer counts: e = c*4^k + h*4 + bb.  Each dp_impl derives
+    # its own layout (scan: [B,4,4,M1] int16; cyc kernel: k phase layouts).
+    return src, snk, ecn
 
 
-def _dp(ew16: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
+def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
         *, k: int, t_lo: int, t_hi: int, dp_impl: str):
-    """Stage 2: max-plus heaviest-path DP -> (bps, ends [B,nT], endok)."""
+    """Stage 2: max-plus heaviest-path DP.
+
+    Returns (bp_repr, ends [B,nT], endok) where bp_repr is
+    ('dense', bps [t_hi,B,4,M1] u8) for the scan/legacy-pallas paths or
+    ('cyc', bpp [B,nG,R,C] u8 2-bit-packed) for the cycling-digit kernel.
+    """
     B, M = src.shape
     M1 = 4 ** (k - 1)
+
+    if dp_impl.startswith("cyc") and t_lo >= 1 and k % 2 == 0:
+        from daccord_tpu.ops.pallas_dbg_cyc import cyc_dbg_dp
+        bpp, ends, endok = cyc_dbg_dp(
+            ecn, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
+            interpret=dp_impl.endswith("interpret"),
+            transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
+        return ("cyc", bpp), ends, endok
+
+    # natural e -> TPU-friendly [B, 4(c), 4(bb), M1(h)] (big axis LAST so
+    # VPU lanes are full in the DP).  ec[b, c, bb, h]: count of edge
+    # u=(c,h) -> v=(h,bb).  Stored int16 (counts < 2^15) with -1 as the
+    # no-edge sentinel: halves the HBM read per DP step; widened to
+    # int32/NEG in-register at use.
+    ec = ecn.reshape(B, 4, M1, 4).transpose(0, 1, 3, 2)
+    ew16 = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
 
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)       # first max
@@ -205,7 +221,7 @@ def _dp(ew16: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
             # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
             ends = ends_tail.transpose(1, 0)                 # [B, nT]
             endok = endok_tail.transpose(1, 0) & have_src[:, None]
-    return bps, ends, endok
+    return ("dense", bps), ends, endok
 
 
 def _traceback(bps: jnp.ndarray, ends: jnp.ndarray,
@@ -231,7 +247,14 @@ def _traceback(bps: jnp.ndarray, ends: jnp.ndarray,
 
     (v, bases), _ = jax.lax.scan(tb_step, (v, bases),
                                  jnp.arange(t_hi, 0, -1), length=t_hi)
-    # v is now the source k-mer for every valid candidate; decode its k bases
+    return _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
+
+
+def _finish_traceback(v, bases, *, k: int, t_lo: int, t_hi: int):
+    """Shared tail of stage 3: decode the source k-mer head and pad."""
+    B, nT = v.shape
+    LC = k + t_hi
+    Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]
     head = jnp.stack([(v >> (2 * (k - 1 - i))) & 3 for i in range(k)],
                      axis=-1).astype(jnp.uint8)              # [B,nT,k]
     cands = jnp.concatenate([head, bases], axis=-1)          # [B,nT,k+t_hi]
@@ -239,6 +262,50 @@ def _traceback(bps: jnp.ndarray, ends: jnp.ndarray,
     cpos = jnp.arange(LC, dtype=jnp.int32)[None, None, :]
     cands = jnp.where(cpos < lc[:, :, None], cands, PAD).astype(jnp.uint8)
     return cands, lc
+
+
+def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
+                   *, k: int, t_lo: int, t_hi: int):
+    """Stage 3 for the cycling-digit kernel's 2-bit-packed backpointers.
+
+    bpp [B, nG, R, C] uint8: group g byte at the PHYSICAL position of the
+    post-step state holds steps g*h+1..(g+1)*h, 2 bits per step (field =
+    (tt-1) % h).  States here are NATURAL k-mer codes; only the bp lookup
+    maps natural -> physical (a static digit permutation per step, so the
+    loop is unrolled — every shift amount is a Python int).
+    """
+    from daccord_tpu.ops.pallas_dbg_cyc import _orders
+    B, nT = ends.shape
+    h = k // 2
+    gsz = h
+    Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]    # [1, nT]
+    std_o, tr_o = _orders(k)
+    v = ends
+    b_idx = jnp.arange(B)[:, None]
+    bases_cols = [None] * t_hi
+
+    for tt in range(t_hi, 0, -1):
+        q = (k - tt) % k
+        std = q >= h
+        g, field = divmod(tt - 1, gsz)
+        order = std_o if std else tr_o
+        ncol = h if std else k - h
+        # physical flat index: order[p] lists slots msb->lsb; slot s holds
+        # natural digit (s - q) mod k (see pallas_dbg_cyc._natmap)
+        phys = jnp.zeros_like(v)
+        for p, s in enumerate(order):
+            i = (s - q) % k
+            phys = phys | (((v >> (2 * i)) & 3) << (2 * (k - 1 - p)))
+        r = phys >> (2 * ncol)
+        c = phys & ((1 << (2 * ncol)) - 1)
+        byte = bpp[:, g][b_idx, r, c].astype(jnp.int32)          # [B, nT]
+        cc = (byte >> (2 * field)) & 3
+        act = tt <= Ts
+        bases_cols[tt - 1] = jnp.where(act, (v & 3), 0).astype(jnp.uint8)
+        v = jnp.where(act, cc * (4 ** (k - 1)) + (v >> 2), v)
+
+    bases = jnp.stack(bases_cols, axis=-1)                       # [B,nT,t_hi]
+    return _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
 
 
 def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
@@ -310,13 +377,23 @@ def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     return ConsensusOut(ok=ok, length=winlen, bases=winbases, cost=wincost)
 
 
+def default_dp_impl() -> str:
+    """'cyc' (VMEM-resident Pallas DBG kernel) on real TPU backends, 'scan'
+    elsewhere (CPU has no Mosaic; interpret mode is far slower than the XLA
+    scan).  Measured on v5e: cyc = 2.6x scan for the whole consensus step."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:                                # no backend yet
+        return "scan"
+    return "cyc" if platform == "tpu" else "scan"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl"))
-def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
-                   plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
-                   *, k: int, w: int, path_delta: int,
-                   e_q6: int = 1_000_000,
-                   dp_impl: str = "scan") -> ConsensusOut:
+def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                        plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
+                        *, k: int, w: int, path_delta: int,
+                        e_q6: int, dp_impl: str) -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
     S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
@@ -331,9 +408,28 @@ def consensus_step(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     t_exp = w - k
     t_lo = max(0, t_exp - path_delta)
     t_hi = t_exp + path_delta
-    src, snk, ew16 = _build_tables(S, slen, nstr, plq_src, plq_snk, k=k)
-    bps, ends, endok = _dp(ew16, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
-                           dp_impl=dp_impl)
-    cands, lc = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
+    src, snk, ecn = _build_tables(S, slen, nstr, plq_src, plq_snk, k=k)
+    (bp_tag, bps), ends, endok = _dp(ecn, src, snk, k=k, t_lo=t_lo,
+                                     t_hi=t_hi, dp_impl=dp_impl)
+    if bp_tag == "cyc":
+        cands, lc = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
+    else:
+        cands, lc = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
     return _score_pick(S, slen, nstr, cands, lc, endok, k=k, w=w,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)
+
+
+def consensus_step(S, slen, nstr, plq_src, plq_snk, *, k: int, w: int,
+                   path_delta: int, e_q6: int = 1_000_000,
+                   dp_impl: str = "auto") -> ConsensusOut:
+    """One batched consensus pass at k-mer size k (see _consensus_step_jit).
+
+    dp_impl: 'auto' resolves per-backend (default_dp_impl); explicit values
+    'scan' | 'cyc' | 'cyc_mxu' | 'cyc_interpret' | 'pallas_interpret' pick a
+    DP implementation directly — all bit-identical (tests/test_pallas_dbg.py).
+    """
+    if dp_impl == "auto":
+        dp_impl = default_dp_impl()
+    return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, k=k, w=w,
+                               path_delta=path_delta, e_q6=e_q6,
+                               dp_impl=dp_impl)

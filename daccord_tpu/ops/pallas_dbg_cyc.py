@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: cycling-digit max-plus DBG DP (VMEM-resident).
+
+The round-1 kernel (ops/pallas_dbg.py) kept scores in NATURAL k-mer order and
+relabeled (bb, h) -> (h, bb) after every step — a perfect-shuffle reshape that
+Mosaic rejects on-chip.  This kernel removes the relabel entirely with
+*cycling-digit addressing* (the fix sketched in that module's STATUS note):
+
+- The char at output position j is stored in address digit-slot
+  ``(k-1-j) mod k``.  A window of k consecutive positions hits every slot
+  exactly once, and extending the path by one char drops position t and adds
+  position t+k — the SAME slot.  So DP step tt (1-based) replaces the single
+  digit ``q = (k-tt) mod k`` in place:
+
+      new[.. slot_q=bb ..] = max_c old[.. slot_q=c ..] + EW_q[c, bb, rest]
+
+  a pure broadcast-add-max over one address digit — no data movement.
+
+- The score lives as a 2D ``[4^(k-h), 4^h]`` array (h = k//2).  Slots in the
+  sublane half are exposed with leading-axis splits (always layout-legal in
+  Mosaic).  Because q descends k-1..0 cyclically, slots fall into the lane
+  half for exactly h consecutive steps — ONE physical transpose every h steps
+  flips the halves so the reduced digit is always in the sublane half.  The
+  transpose is either the XLU 2D transpose or an MXU ``dot_general`` against
+  an identity (exact: all reachable scores < 2^24; the NEG sentinel is
+  remapped to -2^23 across the matmul and restored after).
+
+- EW_q is the (k+1)-mer edge table pre-permuted into the k per-phase layouts
+  by XLA *outside* the kernel (digit-permute transposes are legal and fast
+  there), int16 with -1 as the no-edge sentinel.  The kernel DMAs one
+  window's phases to VMEM once and runs all t_hi steps against them — the
+  XLA scan re-reads the edge tensor from HBM every step.
+
+- Backpointers are 2-bit packed, h steps per byte; the packing groups align
+  exactly with the constant-layout runs, so each group is written in a
+  single physical layout.  Traceback (consensus_step._traceback_cyc) undoes
+  the addressing with integer arithmetic only.
+
+- End-picking runs in-kernel with first-max ties broken in NATURAL index
+  order (min-of-matching-natural-index; Mosaic has no integer argmax), so
+  ``ends``/``endok`` are bit-identical to the scan path's.
+
+Semantics are bit-identical to ops/consensus_step.py's scan (and hence the
+NumPy oracle, ALGORITHM §4): tests/test_pallas_dbg.py asserts equality.
+Reference: gt1/daccord ``src/daccord.cpp`` DebruijnGraph traversal (SURVEY
+§3.4); this dense formulation is the SURVEY §7.1 design.
+
+Requires t_lo >= 1 and even k; callers fall back to the scan otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2 ** 29)
+NEG_HALF = -(2 ** 28)
+NEG_F32 = -(2 ** 23)        # NEG stand-in across the MXU transpose (f32-exact)
+
+
+def _orders(k: int):
+    """(std, transposed) slot orders, msb -> lsb, of the 2D score layout."""
+    h = k // 2
+    std = tuple(range(k - 1, -1, -1))
+    tr = tuple(range(h - 1, -1, -1)) + tuple(range(k - 1, h - 1, -1))
+    return std, tr
+
+
+def build_phase_tables(ecn: jnp.ndarray, elig: jnp.ndarray, k: int):
+    """XLA pre-permute: (ewp [B,k,16,4^(k-1-h),4^h] i16, eligp [B,k,R,C] i8).
+
+    ecn:  int32 [B, 4^(k+1)] natural (k+1)-mer counts (e = c*4^k + h*4 + bb)
+    elig: bool  [B, 4^k]     natural sink eligibility (snk > 0)
+
+    Phase q's remaining-digit order follows the physical layout of the score
+    array during the step that reduces slot q: slot s holds edge-h digit
+    ``(s-q-1) mod k`` and state-natural digit ``(s-q) mod k``.
+    """
+    B = ecn.shape[0]
+    h = k // 2
+    std, tr = _orders(k)
+    ew16n = jnp.where(ecn > 0, ecn, -1).astype(jnp.int16)
+    e9 = ew16n.reshape((B,) + (4,) * (k + 1))
+    el = elig.astype(jnp.int8).reshape((B,) + (4,) * k)
+    ewp, elp = [], []
+    for q in range(k):
+        order = std if q >= h else tr
+        rem = [s for s in order if s != q]
+        # source axis of edge-h digit with weight-exponent i is (k - i);
+        # c is axis 1 (weight 4^k), bb is axis k+1 (weight 1)
+        perm = (0, 1, k + 1) + tuple(k - ((s - q - 1) % k) for s in rem)
+        ewp.append(jnp.transpose(e9, perm)
+                   .reshape(B, 16, 4 ** (k - 1 - h), 4 ** h))
+        # source axis of state-natural digit i is 1 + (k-1-i)
+        perm_e = (0,) + tuple(k - ((s - q) % k) for s in order)
+        elp.append(jnp.transpose(el, perm_e).reshape(B, 4 ** (k - h), 4 ** h))
+    return jnp.stack(ewp, 1), jnp.stack(elp, 1)
+
+
+def _natmap(k: int, q: int, std: bool):
+    """int32 [R, C] map: physical position -> NATURAL index of the state
+    produced by the step that reduces slot q (slot s holds nat digit
+    (s-q) mod k)."""
+    h = k // 2
+    R, C = 4 ** (k - h), 4 ** h
+    shape = (R, C) if std else (C, R)
+    r_io = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c_io = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    nat = jnp.zeros(shape, jnp.int32)
+    for s in range(k):
+        if std:
+            d = (r_io >> (2 * (s - h))) & 3 if s >= h else (c_io >> (2 * s)) & 3
+        else:
+            d = (r_io >> (2 * s)) & 3 if s < h else (c_io >> (2 * (s - h))) & 3
+        nat = nat | (d << (2 * ((s - q) % k)))
+    return nat
+
+
+def _transpose(sc, impl: str):
+    """Exact int32 2D transpose. 'xlu': native; 'mxu': dot_general vs
+    identity in f32 (NEG remapped to NEG_F32 across the matmul)."""
+    if impl == "xlu":
+        return jnp.swapaxes(sc, 0, 1)
+    n0, n1 = sc.shape
+    scm = jnp.where(sc > NEG_HALF, sc, NEG_F32).astype(jnp.float32)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
+           ).astype(jnp.float32)
+    # out[a, b] = sum_r scm[r, a] * eye[r, b] = scm[b, a]
+    scT = jax.lax.dot_general(scm, eye, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    scTi = scT.astype(jnp.int32)
+    return jnp.where(scTi < -(2 ** 22), NEG, scTi)
+
+
+def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, bpp_ref, meta_ref,
+                *, k: int, t_lo: int, t_hi: int, transpose_impl: str):
+    h = k // 2
+    R, C = 4 ** (k - h), 4 ** h
+    gsz = h
+    nG = pl.cdiv(t_hi, gsz)
+
+    sc = score0_ref[0]                       # [R, C] std layout (== natural)
+    bp_acc = None
+
+    for tt in range(1, t_hi + 1):
+        q = (k - tt) % k
+        std = q >= h
+        g, field = divmod(tt - 1, gsz)
+        if field == 0:
+            if tt > 1:
+                sc = _transpose(sc, transpose_impl)
+            bp_acc = jnp.zeros(sc.shape, jnp.int32)
+
+        # expose digit q as the middle axis of the sublane half
+        if std:
+            A, Bv = 4 ** (k - 1 - q), 4 ** (q - h)
+        else:
+            A, Bv = 4 ** (h - 1 - q), 4 ** q
+        L = sc.shape[1]
+        scv = sc.reshape(A, 4, Bv, L)
+        ew = ewp_ref[0, q]                    # [16, 4^(k-1-h), 4^h] i16
+
+        news, bps_ = [], []
+        for bb in range(4):
+            best = None
+            bpv = None
+            for c in range(4):
+                # widen i16 -> i32 BEFORE comparing (v5e Mosaic has no i16
+                # compare: "Target does not support this comparison")
+                wv = ew[c * 4 + bb].reshape(A, Bv, L).astype(jnp.int32)
+                ww = jnp.where(wv < 0, NEG, wv)
+                cand = scv[:, c] + ww
+                if best is None:
+                    best, bpv = cand, jnp.zeros(cand.shape, jnp.int32)
+                else:
+                    m = cand > best               # strict: first-max keeps c
+                    best = jnp.where(m, cand, best)
+                    bpv = jnp.where(m, c, bpv)
+            best = jnp.where(best > NEG_HALF, best, NEG)
+            news.append(best)
+            bps_.append(bpv)
+        sc = jnp.stack(news, axis=1).reshape(sc.shape)
+        bpn = jnp.stack(bps_, axis=1).reshape(sc.shape)
+        bp_acc = bp_acc | (bpn << (2 * field))
+
+        if field == gsz - 1 or tt == t_hi:
+            bpp_ref[0, g] = bp_acc.astype(jnp.uint8)
+
+        if tt >= t_lo:
+            nat = _natmap(k, q, std)
+            eligm = eligp_ref[0, q] != 0
+            masked = jnp.where(eligm, sc, NEG)
+            mx = jnp.max(masked)
+            ok = mx > NEG_HALF
+            natsel = jnp.where(eligm & (sc == mx), nat, 4 ** k)
+            endnat = jnp.where(ok, jnp.min(natsel), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            sel = lane == (tt - t_lo)
+            meta_ref[0, 0:1, :] = jnp.where(sel, endnat, meta_ref[0, 0:1, :])
+            meta_ref[0, 1:2, :] = jnp.where(sel, ok.astype(jnp.int32),
+                                            meta_ref[0, 1:2, :])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "interpret",
+                                             "transpose_impl"))
+def cyc_dbg_dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
+               *, k: int, t_lo: int, t_hi: int, interpret: bool = False,
+               transpose_impl: str = "xlu"):
+    """(bpp [B, nG, R, C] u8 2-bit-packed, ends [B, nT] i32 NATURAL,
+    endok [B, nT] bool).
+
+    ecn: int32 [B, 4^(k+1)] natural edge counts; src/snk: int32 [B, 4^k].
+    """
+    assert t_lo >= 1 and k % 2 == 0
+    B, M = src.shape
+    h = k // 2
+    R, C = 4 ** (k - h), 4 ** h
+    gsz = h
+    nG = -(-t_hi // gsz)
+    nT = t_hi - t_lo + 1
+    assert nT <= 128
+
+    ewp, eligp = build_phase_tables(ecn, snk > 0, k)
+    have_src = src.max(axis=1) > 0
+    source = jnp.argmax(src, axis=1).astype(jnp.int32)          # first max
+    score0 = jnp.full((B, M), NEG, jnp.int32).at[
+        jnp.arange(B), source].set(jnp.where(have_src, 0, NEG)
+                                   ).reshape(B, R, C)
+
+    bpp, meta = pl.pallas_call(
+        functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
+                          transpose_impl=transpose_impl),
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nG, R, C), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, k, 16, 4 ** (k - 1 - h), 4 ** h),
+                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, R, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nG, R, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        # block VMEM is ~5.4MB (ewp 4MB dominates); with double-buffering and
+        # loop temporaries the scoped need is ~25MB — above the 16MB default
+        # but well under the chip's VMEM (v5e: 128MB).  Raise the limit.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(ewp, eligp, score0)
+    ends = meta[:, 0, :nT]
+    endok = (meta[:, 1, :nT] != 0) & have_src[:, None]
+    return bpp, ends, endok

@@ -41,11 +41,12 @@ def _run(piles, dp_impl):
                           path_delta=CFG.path_delta, dp_impl=dp_impl)
 
 
-def test_pallas_dp_equals_scan():
+@pytest.mark.parametrize("impl", ["pallas_interpret", "cyc_interpret"])
+def test_pallas_dp_equals_scan(impl):
     rng = np.random.default_rng(3)
     piles = _piles(rng, 8, 8)
     a = _run(piles, "scan")
-    b = _run(piles, "pallas_interpret")
+    b = _run(piles, impl)
     assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
     assert np.array_equal(np.asarray(a.length), np.asarray(b.length))
     assert np.array_equal(np.asarray(a.bases), np.asarray(b.bases))
@@ -61,12 +62,34 @@ def test_pallas_dp_equals_scan():
             assert np.array_equal(got, want)
 
 
-def test_pallas_dp_degenerate():
+@pytest.mark.parametrize("impl", ["pallas_interpret", "cyc_interpret"])
+def test_pallas_dp_degenerate(impl):
     rng = np.random.default_rng(4)
     piles = [[np.zeros(0, dtype=np.uint8)],
              [rng.integers(0, 4, size=16).astype(np.uint8)] * 3,
              [np.zeros(16, dtype=np.uint8)] * 4]
     a = _run(piles, "scan")
-    b = _run(piles, "pallas_interpret")
+    b = _run(piles, impl)
     assert np.array_equal(np.asarray(a.ok), np.asarray(b.ok))
     assert np.array_equal(np.asarray(a.bases), np.asarray(b.bases))
+
+
+def test_cyc_tie_heavy():
+    """Tie-dense inputs (few distinct bases -> many equal scores/ends): the
+    first-wins pins must agree between scan and cyc (VERDICT weak #3)."""
+    rng = np.random.default_rng(11)
+    piles = []
+    for _ in range(8):
+        truth = rng.integers(0, 2, size=CFG.w).astype(np.uint8)  # binary
+        strings = [truth.copy()]
+        for _ in range(6):
+            s = truth.copy()
+            for j in rng.integers(0, CFG.w, size=2):
+                s[j] = rng.integers(0, 2)
+            strings.append(s)
+        piles.append(strings)
+    a = _run(piles, "scan")
+    b = _run(piles, "cyc_interpret")
+    for f in ("ok", "length", "bases", "cost"):
+        assert np.array_equal(np.asarray(getattr(a, f)),
+                              np.asarray(getattr(b, f))), f
