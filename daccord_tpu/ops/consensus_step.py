@@ -408,6 +408,13 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     t_exp = w - k
     t_lo = max(0, t_exp - path_delta)
     t_hi = t_exp + path_delta
+    if dp_impl.startswith("cyc"):
+        # cyc phase tables store packed keys count*4 + 3 in uint16; the max
+        # possible edge count is D1 * P2 (every edge position of every
+        # string hitting one bin)
+        D1, Wp = S.shape[1], S.shape[2]
+        assert D1 * (Wp - k) * 4 + 3 < 2 ** 16, \
+            f"cyc packed edge keys can exceed uint16 (D1={D1}, W'={Wp})"
     src, snk, ecn = _build_tables(S, slen, nstr, plq_src, plq_snk, k=k)
     (bp_tag, bps), ends, endok = _dp(ecn, src, snk, k=k, t_lo=t_lo,
                                      t_hi=t_hi, dp_impl=dp_impl)

@@ -53,6 +53,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -69,54 +70,107 @@ def _orders(k: int):
     return std, tr
 
 
+def _rot_parts(n: int, r: int):
+    """Decompose digit-rotation r (mod n) into parts p with min(p, n-p) >= 3
+    so every stage is a 2D transpose with both dims >= 64 — large-granule
+    HBM access.  Returns the shortest such part list (or the direct [r]
+    when n is too small to decompose — only k=8's n=7/8 sizes matter)."""
+    lo, hi = 3, n - 3
+    if hi < lo:
+        return [r % n]
+    from itertools import combinations_with_replacement
+    for ln in range(1, 4):
+        for combo in combinations_with_replacement(range(lo, hi + 1), ln):
+            if sum(combo) % n == r % n:
+                return list(combo)
+    raise AssertionError(f"no rotation decomposition for n={n}, r={r}")
+
+
+def _digit_rot(x: jnp.ndarray, n: int, r: int) -> jnp.ndarray:
+    """Rotate the last (flat 4^n) axis's digits: bottom r digits to the top.
+
+    A direct XLA transpose of a small-r rotation reads/writes HBM in
+    4^r-element granules (8-128 bytes — ~10x off stream bandwidth).  Compose
+    from transposes whose two dims are both >= 4^3, with optimization
+    barriers so XLA cannot re-fuse the stages into one bad permute."""
+    if r % n == 0:
+        return x
+    head = x.shape[:-1]
+    parts = _rot_parts(n, r)
+    for i, p in enumerate(parts):
+        if i > 0:
+            x = jax.lax.optimization_barrier(x)
+        x = (x.reshape(head + (4 ** (n - p), 4 ** p))
+             .swapaxes(-1, -2).reshape(head + (4 ** n,)))
+    return x
+
+
 def build_phase_tables(ecn: jnp.ndarray, elig: jnp.ndarray, k: int):
-    """XLA pre-permute: (ewp [B,k,16,4^(k-1-h),4^h] i16, eligp [B,k,R,C] i8).
+    """XLA pre-permute: (ewp [B,k,16,4^(k-1-h),4^h] u16, eligp [B,k,R,C] i8).
 
     ecn:  int32 [B, 4^(k+1)] natural (k+1)-mer counts (e = c*4^k + h*4 + bb)
     elig: bool  [B, 4^k]     natural sink eligibility (snk > 0)
 
+    ewp entries are PACKED KEYS ``count*4 + (3-c)`` (0 = edge absent; valid
+    entries are >= 4).  The kernel then computes the max-plus step as a pure
+    ``max`` over packed keys ``score*4 + count*4 + (3-c)``: among equal
+    scores the largest priority (3-c) wins, i.e. the smallest c — exactly
+    the scan path's first-max-over-ascending-c tie rule.  Requires
+    ``count*4 + 3 < 2^16`` (asserted by the caller via D1*(W'-k+1) bound).
+
     Phase q's remaining-digit order follows the physical layout of the score
     array during the step that reduces slot q: slot s holds edge-h digit
     ``(s-q-1) mod k`` and state-natural digit ``(s-q) mod k``.
+
+    DEDUP: phase q (std layout) and phase q-h (tr layout) produce IDENTICAL
+    tables — the tr slot order is the std order with every slot shifted by
+    h, and the digit maps depend only on s-q, so shifting both s and q by h
+    leaves every source-axis tuple unchanged.  Only h = k//2 distinct
+    tables exist; index them by ``q % h``.  This halves the permute cost,
+    the HBM traffic, and the kernel's VMEM block.
     """
     B = ecn.shape[0]
     h = k // 2
-    std, tr = _orders(k)
-    ew16n = jnp.where(ecn > 0, ecn, -1).astype(jnp.int16)
-    e9 = ew16n.reshape((B,) + (4,) * (k + 1))
-    el = elig.astype(jnp.int8).reshape((B,) + (4,) * k)
-    ewp, elp = [], []
-    for q in range(k):
-        order = std if q >= h else tr
-        rem = [s for s in order if s != q]
-        # source axis of edge-h digit with weight-exponent i is (k - i);
-        # c is axis 1 (weight 4^k), bb is axis k+1 (weight 1)
-        perm = (0, 1, k + 1) + tuple(k - ((s - q - 1) % k) for s in rem)
-        ewp.append(jnp.transpose(e9, perm)
-                   .reshape(B, 16, 4 ** (k - 1 - h), 4 ** h))
-        # source axis of state-natural digit i is 1 + (k-1-i)
-        perm_e = (0,) + tuple(k - ((s - q) % k) for s in order)
-        elp.append(jnp.transpose(el, perm_e).reshape(B, 4 ** (k - h), 4 ** h))
+    pr = (3 - jnp.arange(4, dtype=jnp.int32)).reshape(1, 4, 1)
+    ecn3 = ecn.reshape(B, 4, 4 ** k)
+    eKn = jnp.where(ecn3 > 0, (ecn3 << 2) + pr, 0).astype(jnp.uint16)
+    # base layout (= phase q=k-1): rotate (E.., bb) by 1 so bb joins c,
+    # giving [B, 16(c,bb), E_{k-2}..E_0]; phase q=k-1-j is then a j-digit
+    # rotation of the E group, and eligp phases are (j+1)-digit rotations
+    # of the natural state table.  All rotations run as large-granule
+    # transpose chains (_digit_rot).
+    eK = _digit_rot(eKn, k, 1).reshape(B, 16, 4 ** (k - 1))
+    el = elig.astype(jnp.int8).reshape(B, 4 ** k)
+    ewp, elp = [None] * h, [None] * h
+    for j in range(h):
+        q = k - 1 - j                          # std phases; q % h indexes
+        ewp[q % h] = (_digit_rot(eK, k - 1, j)
+                      .reshape(B, 16, 4 ** (k - 1 - h), 4 ** h))
+        elp[q % h] = (_digit_rot(el, k, j + 1)
+                      .reshape(B, 4 ** (k - h), 4 ** h))
     return jnp.stack(ewp, 1), jnp.stack(elp, 1)
 
 
-def _natmap(k: int, q: int, std: bool):
-    """int32 [R, C] map: physical position -> NATURAL index of the state
-    produced by the step that reduces slot q (slot s holds nat digit
-    (s-q) mod k)."""
+@functools.lru_cache(maxsize=None)
+def _natmaps(k: int):
+    """Static numpy int32 [h, R, C]: natp[q % h] maps physical position ->
+    NATURAL index of the state produced by the step that reduces slot q
+    (slot s holds nat digit (s-q) mod k).  Only h distinct maps exist (the
+    same std/tr dedup as build_phase_tables).  Computed host-side once."""
     h = k // 2
     R, C = 4 ** (k - h), 4 ** h
-    shape = (R, C) if std else (C, R)
-    r_io = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    c_io = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    nat = jnp.zeros(shape, jnp.int32)
-    for s in range(k):
-        if std:
-            d = (r_io >> (2 * (s - h))) & 3 if s >= h else (c_io >> (2 * s)) & 3
-        else:
-            d = (r_io >> (2 * s)) & 3 if s < h else (c_io >> (2 * (s - h))) & 3
-        nat = nat | (d << (2 * ((s - q) % k)))
-    return nat
+    assert R == C
+    out = np.empty((h, R, C), np.int32)
+    r_io = np.arange(R, dtype=np.int32)[:, None]
+    c_io = np.arange(C, dtype=np.int32)[None, :]
+    for q in range(h, k):                      # std phases; q % h indexes
+        nat = np.zeros((R, C), np.int32)
+        for s in range(k):
+            d = ((r_io >> (2 * (s - h))) & 3 if s >= h
+                 else (c_io >> (2 * s)) & 3)
+            nat = nat | (d << (2 * ((s - q) % k)))
+        out[q % h] = nat
+    return out
 
 
 def _transpose(sc, impl: str):
@@ -136,7 +190,7 @@ def _transpose(sc, impl: str):
     return jnp.where(scTi < -(2 ** 22), NEG, scTi)
 
 
-def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, bpp_ref, meta_ref,
+def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
                 *, k: int, t_lo: int, t_hi: int, transpose_impl: str):
     h = k // 2
     R, C = 4 ** (k - h), 4 ** h
@@ -161,38 +215,36 @@ def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, bpp_ref, meta_ref,
         else:
             A, Bv = 4 ** (h - 1 - q), 4 ** q
         L = sc.shape[1]
-        scv = sc.reshape(A, 4, Bv, L)
-        ew = ewp_ref[0, q]                    # [16, 4^(k-1-h), 4^h] i16
+        # packed-key max-plus step: key = score*4 + count*4 + (3-c); a pure
+        # 4-way max replaces the compare/select/backpointer bookkeeping
+        # (among equal scores the largest 3-c, i.e. smallest c, wins — the
+        # scan path's first-max tie rule).  NEG<<2 == INT32_MIN exactly;
+        # adding a packed table entry (< 2^16) keeps it far below NEG_HALF.
+        sc4 = sc << 2
+        scv = sc4.reshape(A, 4, Bv, L)
+        ew = ewp_ref[0, q % h]                # [16, 4^(k-1-h), 4^h] u16
 
-        news, bps_ = [], []
+        keys = []
         for bb in range(4):
             best = None
-            bpv = None
             for c in range(4):
-                # widen i16 -> i32 BEFORE comparing (v5e Mosaic has no i16
-                # compare: "Target does not support this comparison")
+                # widen u16 -> i32 BEFORE comparing (v5e Mosaic has no
+                # 16-bit compare: "Target does not support this comparison")
                 wv = ew[c * 4 + bb].reshape(A, Bv, L).astype(jnp.int32)
-                ww = jnp.where(wv < 0, NEG, wv)
-                cand = scv[:, c] + ww
-                if best is None:
-                    best, bpv = cand, jnp.zeros(cand.shape, jnp.int32)
-                else:
-                    m = cand > best               # strict: first-max keeps c
-                    best = jnp.where(m, cand, best)
-                    bpv = jnp.where(m, c, bpv)
-            best = jnp.where(best > NEG_HALF, best, NEG)
-            news.append(best)
-            bps_.append(bpv)
-        sc = jnp.stack(news, axis=1).reshape(sc.shape)
-        bpn = jnp.stack(bps_, axis=1).reshape(sc.shape)
+                cand = jnp.where(wv > 0, scv[:, c] + wv, NEG)
+                best = cand if best is None else jnp.maximum(best, cand)
+            keys.append(best)
+        key = jnp.stack(keys, axis=1).reshape(sc.shape)
+        sc = jnp.where(key > NEG_HALF, key >> 2, NEG)
+        bpn = 3 - (key & 3)                   # = c at valid positions
         bp_acc = bp_acc | (bpn << (2 * field))
 
         if field == gsz - 1 or tt == t_hi:
-            bpp_ref[0, g] = bp_acc.astype(jnp.uint8)
+            bpp_ref[0, g] = bp_acc
 
         if tt >= t_lo:
-            nat = _natmap(k, q, std)
-            eligm = eligp_ref[0, q] != 0
+            nat = natp_ref[q % h]
+            eligm = eligp_ref[0, q % h] != 0
             masked = jnp.where(eligm, sc, NEG)
             mx = jnp.max(masked)
             ok = mx > NEG_HALF
@@ -236,15 +288,17 @@ def cyc_dbg_dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
                           transpose_impl=transpose_impl),
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nG, R, C), jnp.uint8),
+            jax.ShapeDtypeStruct((B, nG, R, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec((1, k, 16, 4 ** (k - 1 - h), 4 ** h),
+            pl.BlockSpec((1, h, 16, 4 ** (k - 1 - h), 4 ** h),
                          lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, R, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, h, R, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, R, C), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -258,7 +312,7 @@ def cyc_dbg_dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
         # but well under the chip's VMEM (v5e: 128MB).  Raise the limit.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(ewp, eligp, score0)
+    )(ewp, eligp, score0, jnp.asarray(_natmaps(k)))
     ends = meta[:, 0, :nT]
     endok = (meta[:, 1, :nT] != 0) & have_src[:, None]
     return bpp, ends, endok

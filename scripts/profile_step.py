@@ -66,24 +66,34 @@ def main():
     k, w, pd = cfg.k, cfg.w, cfg.path_delta
     t_lo, t_hi = w - k - pd, w - k + pd
 
+    impl = sys.argv[1] if len(sys.argv) > 1 else "scan"
+
     j_tables = jax.jit(lambda *a: cs._build_tables(*a, k=k))
-    j_dp = jax.jit(lambda e, s, n: cs._dp(e, s, n, k=k, t_lo=t_lo, t_hi=t_hi,
-                                          dp_impl="scan"))
-    j_tb = jax.jit(lambda b, e: cs._traceback(b, e, k=k, t_lo=t_lo, t_hi=t_hi))
+    def _dp_arrays(e, s, n):
+        (_tag, bps), ends, endok = cs._dp(e, s, n, k=k, t_lo=t_lo,
+                                          t_hi=t_hi, dp_impl=impl)
+        return bps, ends, endok
+    j_dp = jax.jit(_dp_arrays)
+    if impl.startswith("cyc"):
+        j_tb = jax.jit(lambda b, e: cs._traceback_cyc(
+            b, e, k=k, t_lo=t_lo, t_hi=t_hi))
+    else:
+        j_tb = jax.jit(lambda b, e: cs._traceback(
+            b, e, k=k, t_lo=t_lo, t_hi=t_hi))
     j_sc = jax.jit(lambda S, sl, ns, c, l, eo: cs._score_pick(
         S, sl, ns, c, l, eo, k=k, w=w, t_lo=t_lo, t_hi=t_hi, e_q6=1_000_000))
     j_full = lambda S, sl, ns: cs.consensus_step(
-        S, sl, ns, plq_src, plq_snk, k=k, w=w, path_delta=pd)
+        S, sl, ns, plq_src, plq_snk, k=k, w=w, path_delta=pd, dp_impl=impl)
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"devices: {jax.devices()}  impl={impl}", file=sys.stderr)
     for (B, D1) in [(256, 9), (256, 17), (256, 65)]:
         S, slen, nstr = synth_inputs(B, D1, cfg)
-        src, snk, ew16 = j_tables(S, slen, nstr, plq_src, plq_snk)
-        bps, ends, endok = j_dp(ew16, src, snk)
+        src, snk, ecn = j_tables(S, slen, nstr, plq_src, plq_snk)
+        bps, ends, endok = j_dp(ecn, src, snk)
         cands, lc = j_tb(bps, ends)
 
         t_tab = timeit(j_tables, S, slen, nstr, plq_src, plq_snk)
-        t_dp = timeit(j_dp, ew16, src, snk)
+        t_dp = timeit(j_dp, ecn, src, snk)
         t_tb = timeit(j_tb, bps, ends)
         t_sc = timeit(j_sc, S, slen, nstr, cands, lc, endok)
         t_full = timeit(j_full, S, slen, nstr)

@@ -3,8 +3,11 @@
 Runs scan and cyc paths on the real chip at k=8/w=40 and compares outputs
 bit-for-bit.  Also times both DP stages.  Not a pytest test (needs the chip).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
