@@ -122,17 +122,21 @@ def main():
     log(f"bench: devices={jax.devices()}")
     t0 = time.time()
     from daccord_tpu.pipeline.batcher import DEPTH_MENU, consensus_batch
+    from daccord_tpu.oracle.consensus import build_pbw as _bpbw
     from daccord_tpu.oracle.consensus import build_plq as _bplq
     from daccord_tpu.oracle.eprof import ErrorProfile as _EP
     import numpy as _np
-    _plq = _bplq(_EP(0.03, 0.08, 0.04), cfg)
+    _prof = _EP(0.03, 0.08, 0.04)
+    _plq = _bplq(_prof, cfg)
+    _pbw = _bpbw(_prof, cfg)
     _rng = _np.random.default_rng(0)
     for d1 in DEPTH_MENU:
         if d1 > cfg.d + 1:
             continue
         piles = [[_rng.integers(0, 4, size=cfg.w).astype(_np.uint8)
                   for _ in range(d1)] for _ in range(2)]
-        consensus_batch(piles, cfg, _plq, cfg.k, batch=cfg.batch_windows, d1=d1)
+        consensus_batch(piles, cfg, _plq, cfg.k, batch=cfg.batch_windows,
+                        d1=d1, pbw=_pbw)
     warm = cfg.replace(I=(0, 2))
     run_tpu(db, las, warm)
     log(f"bench: warmup {time.time()-t0:.1f}s")

@@ -52,8 +52,24 @@ def _rolling_codes(S: jnp.ndarray, k: int, P: int) -> jnp.ndarray:
 
 
 def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
-                  plq_src: jnp.ndarray, plq_snk: jnp.ndarray, *, k: int):
-    """Stage 1: k-mer/edge histograms -> (src [B,M], snk [B,M], ecn)."""
+                  plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
+                  pbw=None, *, k: int, t_hi: int = 0, pos_bin: int = 8,
+                  edges_layout: str = "natural"):
+    """Stage 1: k-mer/edge histograms -> (src [B,M], snk [B,M], edges).
+
+    edges_layout="natural": edges is int32 [B, NBT, 4^(k+1)] per-step-bin
+    edge tables in natural code order (the scan path's input).  With
+    pbw=None (unweighted v1), NBT == 1 and entries are raw counts; with a
+    pbw kernel (ALGORITHM §4 positional weighting), table j holds the
+    Q6-weighted counts for DP steps t with (t-1)//pos_bin == j, saturated
+    at PBW_CLAMP (fits the cyc kernel's uint16 packed keys).
+
+    edges_layout="phases": edges is a tuple of h = k//2 uint16 packed-key
+    tables [B, NBT, 16, 4^(k-1-h), 4^h] for the cyc kernel, HISTOGRAMMED
+    DIRECTLY in each phase layout — the one-hot row/col split of the
+    histogram matmul follows the phase's digit permutation
+    (pallas_dbg_cyc.phase_digit_seq), so no transposes/pre-permutes are
+    needed at all (they measured ~10x slower than the matmuls on-chip)."""
     B, D1, Wp = S.shape
     M = 4 ** k
     M1 = 4 ** (k - 1)
@@ -111,23 +127,91 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                      preferred_element_type=jnp.float32
                      ).reshape(B, M).astype(jnp.int32)
 
-    eb = k + 1  # 2(k+1) bits split (k+1)/(k+1)
-    ec_flat = ecodes.reshape(B, D1 * P2)
-    emask = evalid.reshape(B, D1 * P2)
-    ehi = (_onehot(ec_flat >> eb, eb, jnp.bfloat16)
-           * emask[:, :, None].astype(jnp.bfloat16))     # [B,Pf,2^(k+1)]
-    elo = _onehot(ec_flat & ((1 << eb) - 1), eb, jnp.bfloat16)
-    ecn = jnp.einsum("bph,bpl->bhl", ehi, elo,
-                     preferred_element_type=jnp.float32
-                     ).reshape(B, 4 ** (k + 1)).astype(jnp.int32)
-    # natural (k+1)-mer counts: e = c*4^k + h*4 + bb.  Each dp_impl derives
-    # its own layout (scan: [B,4,4,M1] int16; cyc kernel: k phase layouts).
-    return src, snk, ecn
+    # ---- edge histograms, positionally binned (ALGORITHM §4) ----
+    # position bins ride the einsum batch axis: ONE batched matmul per
+    # layout covers all bins (same FLOPs as an unbinned histogram — the
+    # contraction axis just splits by bin).  Exactness: per-bin sums
+    # <= D1*g < 2^24 (f32-exact); mixed sums <= 64*D1*P2 < 2^24.
+    from daccord_tpu.oracle.offset_likely import PBW_CLAMP
+    eb = k + 1
+    if pbw is None:
+        nbp = nbt = 1
+        eci = ecodes.reshape(B, 1, D1 * P2)
+        emi = evalid.reshape(B, 1, D1 * P2)
+    else:
+        g = pos_bin
+        nbp = -(-P2 // g)
+        nbt = min(-(-max(t_hi, 1) // g), pbw.shape[1])
+        assert nbp <= pbw.shape[0], "pbw table smaller than position range"
+        assert 64 * D1 * P2 < 2 ** 24, \
+            f"weighted edge bins can exceed 2^24 (D1={D1}, P2={P2})"
+        ppad = nbp * g
+        ecp, evp = ecodes, evalid
+        if ppad != P2:
+            ecp = jnp.pad(ecodes, ((0, 0), (0, 0), (0, ppad - P2)))
+            evp = jnp.pad(evalid, ((0, 0), (0, 0), (0, ppad - P2)))
+        eci = (ecp.reshape(B, D1, nbp, g).transpose(0, 2, 1, 3)
+               .reshape(B, nbp, D1 * g))
+        emi = (evp.reshape(B, D1, nbp, g).transpose(0, 2, 1, 3)
+               .reshape(B, nbp, D1 * g))
+    emi_b = emi[..., None].astype(jnp.bfloat16)
+
+    def _mix(H):
+        """[B, nbp, R, C] f32 counts -> [B, nbt, R, C] int32 step-bin
+        weighted tables (identity when unweighted)."""
+        if pbw is None:
+            return H.astype(jnp.int32)
+        pbw_f = pbw[:nbp, :nbt].astype(jnp.float32)
+        W = jnp.einsum("ij,birc->bjrc", pbw_f, H,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        return jnp.minimum(W, PBW_CLAMP)
+
+    if edges_layout == "natural":
+        ehi = _onehot(eci >> eb, eb, jnp.bfloat16) * emi_b
+        elo = _onehot(eci & ((1 << eb) - 1), eb, jnp.bfloat16)
+        H = jnp.einsum("bngh,bngl->bnhl", ehi, elo,
+                       preferred_element_type=jnp.float32)
+        # natural (k+1)-mer counts: e = c*4^k + h*4 + bb; the scan path
+        # derives its [B,NBT,4,4,M1] int16 layout from this
+        edges = _mix(H).reshape(B, nbt, 4 ** (k + 1))
+    else:                                    # "phases": cyc kernel tables
+        from daccord_tpu.ops.pallas_dbg_cyc import phase_digit_seq
+        h2 = k // 2
+        s = (k + 2) // 2                     # row digits: both one-hot
+        #                                      widths >= 4^s ~ MXU-friendly
+        tabs = [None] * h2
+        rows_iota = jnp.arange(4 ** s, dtype=jnp.int32)[:, None]
+        pr = 3 - (rows_iota >> (2 * (s - 1)))        # 3 - c per table row
+        for j in range(h2):
+            seq = phase_digit_seq(k, j)
+            row = jnp.zeros_like(eci)
+            col = jnp.zeros_like(eci)
+            for i, dpos in enumerate(seq):
+                d = (eci >> (2 * dpos)) & 3
+                if i < s:
+                    row = (row << 2) | d
+                else:
+                    col = (col << 2) | d
+            ehi = _onehot(row, 2 * s, jnp.bfloat16) * emi_b
+            elo = _onehot(col, 2 * (k + 1 - s), jnp.bfloat16)
+            H = jnp.einsum("bngh,bngl->bnhl", ehi, elo,
+                           preferred_element_type=jnp.float32)
+            W = _mix(H)                       # [B, nbt, 4^s, 4^(k+1-s)]
+            key = jnp.where(W > 0, (W << 2) + pr, 0).astype(jnp.uint16)
+            tabs[(k - 1 - j) % h2] = key.reshape(
+                B, nbt, 16, 4 ** (k - 1 - h2), 4 ** h2)
+        edges = tuple(tabs)
+    return src, snk, edges
 
 
-def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
-        *, k: int, t_lo: int, t_hi: int, dp_impl: str):
+def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
+        *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str):
     """Stage 2: max-plus heaviest-path DP.
+
+    edges: per-step-bin edge tables from _build_tables — int32
+    [B, NBT, 4^(k+1)] natural layout for the scan paths, or the tuple of
+    uint16 phase tables for the cyc kernel.  DP step t uses table
+    min((t-1)//g_step, NBT-1).
 
     Returns (bp_repr, ends [B,nT], endok) where bp_repr is
     ('dense', bps [t_hi,B,4,M1] u8) for the scan/legacy-pallas paths or
@@ -136,21 +220,25 @@ def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
     B, M = src.shape
     M1 = 4 ** (k - 1)
 
-    if dp_impl.startswith("cyc") and t_lo >= 1 and k % 2 == 0:
+    if dp_impl.startswith("cyc"):
         from daccord_tpu.ops.pallas_dbg_cyc import cyc_dbg_dp
+        assert isinstance(edges, tuple), \
+            "cyc DP needs edges_layout='phases' tables"
         bpp, ends, endok = cyc_dbg_dp(
-            ecn, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
+            edges, src, snk, k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
         return ("cyc", bpp), ends, endok
+    ecnb = edges
+    NBT = ecnb.shape[1]
 
-    # natural e -> TPU-friendly [B, 4(c), 4(bb), M1(h)] (big axis LAST so
-    # VPU lanes are full in the DP).  ec[b, c, bb, h]: count of edge
-    # u=(c,h) -> v=(h,bb).  Stored int16 (counts < 2^15) with -1 as the
-    # no-edge sentinel: halves the HBM read per DP step; widened to
-    # int32/NEG in-register at use.
-    ec = ecn.reshape(B, 4, M1, 4).transpose(0, 1, 3, 2)
-    ew16 = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
+    # natural e -> TPU-friendly [B, NBT, 4(c), 4(bb), M1(h)] (big axis LAST
+    # so VPU lanes are full in the DP).  ec[b, j, c, bb, h]: weighted count
+    # of edge u=(c,h) -> v=(h,bb) in step-bin j.  Stored int16 (counts
+    # <= PBW_CLAMP < 2^15) with -1 as the no-edge sentinel: halves the HBM
+    # read per DP step; widened to int32/NEG in-register at use.
+    ec = ecnb.reshape(B, NBT, 4, M1, 4).transpose(0, 1, 2, 4, 3)
+    ew16b = jnp.where(ec > 0, ec, -1).astype(jnp.int16)
 
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)       # first max
@@ -164,7 +252,7 @@ def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
         return (jnp.argmax(masked, axis=1).astype(jnp.int32),
                 masked.max(axis=1) > NEG_HALF)
 
-    def dp_core(sc):
+    def dp_core(sc, ew16):
         # score flat [B, M] in natural code order; as predecessor u = (c, h)
         scr = sc.reshape(B, 4, M1)
         # unrolled 4-way max keeps one pass over memory and first-max tie
@@ -186,31 +274,57 @@ def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
         # relabel (bb, h) -> natural v = h*4 + bb for the next step
         return best.transpose(0, 2, 1).reshape(B, M), bp
 
-    def dp_step_head(sc, _):
-        newf, bp = dp_core(sc)
-        return newf, bp                                      # no end-picking
-
-    def dp_step_tail(sc, _):
-        newf, bp = dp_core(sc)
-        e, okk = pick_end(newf)
-        return newf, (bp, e, okk)
-
-    if dp_impl.startswith("pallas") and t_lo >= 1:
-        # VMEM-resident DP kernel (ops/pallas_dbg.py): edge tensor read from
-        # HBM once per window instead of once per step
+    if dp_impl.startswith("pallas") and t_lo >= 1 and NBT == 1:
+        # VMEM-resident DP kernel (ops/pallas_dbg.py, legacy interpret-only
+        # path; unweighted tables only): edge tensor read from HBM once per
+        # window instead of once per step
         from daccord_tpu.ops.pallas_dbg import pallas_dbg_dp
         bps, ends, endok = pallas_dbg_dp(
-            ew16, src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
+            ew16b[:, 0], src, snk, k=k, t_lo=t_lo, t_hi=t_hi,
             interpret=dp_impl.endswith("interpret"))
     else:
-        # end states are only read for t in [t_lo, t_hi]: split the scan so
-        # the [B, 4^k] argmax runs on the tail steps only
-        n_head = max(t_lo - 1, 0) if t_lo > 0 else 0
-        sc_mid, bps_head = jax.lax.scan(dp_step_head, score0, None,
-                                        length=n_head)
-        _, (bps_tail, ends_tail, endok_tail) = jax.lax.scan(
-            dp_step_tail, sc_mid, None, length=t_hi - n_head)
-        bps = jnp.concatenate([bps_head, bps_tail], axis=0)  # [t_hi,B,4,M1]
+        # one scan segment per step-bin (table is constant within a bin);
+        # within each segment the end-state argmax over [B, 4^k] runs on
+        # steps >= t_lo only (the head/tail split of round 1, generalized)
+        sc = score0
+        bps_parts, ends_parts, endok_parts = [], [], []
+        for jb in range(NBT):
+            seg_lo = jb * g_step + 1
+            seg_hi = min((jb + 1) * g_step, t_hi) if jb < NBT - 1 else t_hi
+            if seg_lo > t_hi:
+                break
+            ew16 = ew16b[:, jb]
+
+            def dp_step_head(s, _, ew16=ew16):
+                newf, bp = dp_core(s, ew16)
+                return newf, bp                              # no end-picking
+
+            def dp_step_tail(s, _, ew16=ew16):
+                newf, bp = dp_core(s, ew16)
+                e, okk = pick_end(newf)
+                return newf, (bp, e, okk)
+
+            n_head = max(0, min(t_lo - 1, seg_hi) - seg_lo + 1)
+            n_tail = seg_hi - seg_lo + 1 - n_head
+            if n_head:
+                sc, bh = jax.lax.scan(dp_step_head, sc, None, length=n_head)
+                bps_parts.append(bh)
+            if n_tail:
+                sc, (bt, et, okt) = jax.lax.scan(dp_step_tail, sc, None,
+                                                 length=n_tail)
+                bps_parts.append(bt)
+                ends_parts.append(et)
+                endok_parts.append(okt)
+        if bps_parts:
+            bps = jnp.concatenate(bps_parts, axis=0)         # [t_hi,B,4,M1]
+        else:                                                # t_hi == 0
+            bps = jnp.zeros((0, B, 4, M1), jnp.uint8)
+        if ends_parts:
+            ends_tail = jnp.concatenate(ends_parts, axis=0)
+            endok_tail = jnp.concatenate(endok_parts, axis=0)
+        else:
+            ends_tail = jnp.zeros((0, B), jnp.int32)
+            endok_tail = jnp.zeros((0, B), bool)
         if t_lo == 0:
             e0, ok0 = pick_end(score0)
             ends = jnp.concatenate([e0[None], ends_tail],
@@ -218,7 +332,7 @@ def _dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
             endok = jnp.concatenate([ok0[None], endok_tail],
                                     axis=0).transpose(1, 0) & have_src[:, None]
         else:
-            # tail covers steps n_head+1 .. t_hi = t_lo .. t_hi exactly
+            # tail parts cover steps t_lo .. t_hi exactly
             ends = ends_tail.transpose(1, 0)                 # [B, nT]
             endok = endok_tail.transpose(1, 0) & have_src[:, None]
     return ("dense", bps), ends, endok
@@ -389,17 +503,19 @@ def default_dp_impl() -> str:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl"))
+                   static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl",
+                                    "pos_bin"))
 def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                         plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
-                        *, k: int, w: int, path_delta: int,
-                        e_q6: int, dp_impl: str) -> ConsensusOut:
+                        pbw, *, k: int, w: int, path_delta: int,
+                        e_q6: int, dp_impl: str, pos_bin: int) -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
     S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
     slen: int32 [B, D1]      string lengths
     nstr: int32 [B]          valid rows (0 => padding slot / failed window)
     plq_src/plq_snk: int32 [W'] Q16 offset-likelihood columns o=0 and o=w-k
+    pbw:  int32 [NB, NB] positional edge-weight kernel, or None (ALGORITHM §4)
 
     The stages (_build_tables -> _dp -> _traceback -> _score_pick) are split
     out only so they can be profiled / reused individually; under this jit
@@ -408,16 +524,23 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     t_exp = w - k
     t_lo = max(0, t_exp - path_delta)
     t_hi = t_exp + path_delta
-    if dp_impl.startswith("cyc"):
+    g_step = pos_bin if pbw is not None else max(t_hi, 1)
+    if dp_impl.startswith("cyc") and not (t_lo >= 1 and k % 2 == 0):
+        dp_impl = "scan"                      # cyc preconditions unmet
+    use_cyc = dp_impl.startswith("cyc")
+    if use_cyc and pbw is None:
         # cyc phase tables store packed keys count*4 + 3 in uint16; the max
-        # possible edge count is D1 * P2 (every edge position of every
-        # string hitting one bin)
+        # possible unweighted edge count is D1 * P2 (weighted tables are
+        # saturated at PBW_CLAMP, always in range)
         D1, Wp = S.shape[1], S.shape[2]
         assert D1 * (Wp - k) * 4 + 3 < 2 ** 16, \
             f"cyc packed edge keys can exceed uint16 (D1={D1}, W'={Wp})"
-    src, snk, ecn = _build_tables(S, slen, nstr, plq_src, plq_snk, k=k)
-    (bp_tag, bps), ends, endok = _dp(ecn, src, snk, k=k, t_lo=t_lo,
-                                     t_hi=t_hi, dp_impl=dp_impl)
+    src, snk, edges = _build_tables(
+        S, slen, nstr, plq_src, plq_snk, pbw, k=k, t_hi=t_hi,
+        pos_bin=pos_bin, edges_layout="phases" if use_cyc else "natural")
+    (bp_tag, bps), ends, endok = _dp(edges, src, snk, k=k, t_lo=t_lo,
+                                     t_hi=t_hi, g_step=g_step,
+                                     dp_impl=dp_impl)
     if bp_tag == "cyc":
         cands, lc = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
     else:
@@ -426,17 +549,19 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)
 
 
-def consensus_step(S, slen, nstr, plq_src, plq_snk, *, k: int, w: int,
-                   path_delta: int, e_q6: int = 1_000_000,
-                   dp_impl: str = "auto") -> ConsensusOut:
+def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
+                   w: int, path_delta: int, e_q6: int = 1_000_000,
+                   dp_impl: str = "auto", pos_bin: int = 8) -> ConsensusOut:
     """One batched consensus pass at k-mer size k (see _consensus_step_jit).
 
     dp_impl: 'auto' resolves per-backend (default_dp_impl); explicit values
     'scan' | 'cyc' | 'cyc_mxu' | 'cyc_interpret' | 'pallas_interpret' pick a
     DP implementation directly — all bit-identical (tests/test_pallas_dbg.py).
+    pbw: optional int32 [NB, NB] positional edge-weight kernel (ALGORITHM §4,
+    offset_likely.pos_bin_weights_q6); None = unweighted v1 counts.
     """
     if dp_impl == "auto":
         dp_impl = default_dp_impl()
-    return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, k=k, w=w,
+    return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, pbw, k=k, w=w,
                                path_delta=path_delta, e_q6=e_q6,
-                               dp_impl=dp_impl)
+                               dp_impl=dp_impl, pos_bin=pos_bin)

@@ -70,6 +70,18 @@ def _orders(k: int):
     return std, tr
 
 
+def phase_digit_seq(k: int, j: int):
+    """Digit positions of the (k+1)-mer code e (0 = lsb = bb, k = msb = c)
+    in phase-j layout order msb->lsb: (c, bb, d_j..d_1, d_{k-1}..d_{j+1}).
+
+    Phase j's table is indexed ``[c*4+bb][rest]`` by the kernel during the
+    step that reduces score slot q = k-1-j (mod h dedup); this sequence lets
+    the edge histograms be computed DIRECTLY in each phase layout (the
+    one-hot row/col split of the histogram matmul can follow any digit
+    permutation), replacing the transpose-chain pre-permute."""
+    return [k, 0] + list(range(j, 0, -1)) + list(range(k - 1, j, -1))
+
+
 def _rot_parts(n: int, r: int):
     """Decompose digit-rotation r (mod n) into parts p with min(p, n-p) >= 3
     so every stage is a 2D transpose with both dims >= 64 — large-granule
@@ -105,11 +117,13 @@ def _digit_rot(x: jnp.ndarray, n: int, r: int) -> jnp.ndarray:
     return x
 
 
-def build_phase_tables(ecn: jnp.ndarray, elig: jnp.ndarray, k: int):
-    """XLA pre-permute: (ewp [B,k,16,4^(k-1-h),4^h] u16, eligp [B,k,R,C] i8).
+def build_phase_tables(ecnb: jnp.ndarray, elig: jnp.ndarray, k: int):
+    """XLA pre-permute: (ewp [B,NBT,h,16,4^(k-1-h),4^h] u16,
+    eligp [B,h,R,C] i8).
 
-    ecn:  int32 [B, 4^(k+1)] natural (k+1)-mer counts (e = c*4^k + h*4 + bb)
-    elig: bool  [B, 4^k]     natural sink eligibility (snk > 0)
+    ecnb: int32 [B, NBT, 4^(k+1)] natural (k+1)-mer counts per step bin
+          (e = c*4^k + h*4 + bb); NBT == 1 for the unweighted path
+    elig: bool  [B, 4^k]          natural sink eligibility (snk > 0)
 
     ewp entries are PACKED KEYS ``count*4 + (3-c)`` (0 = edge absent; valid
     entries are >= 4).  The kernel then computes the max-plus step as a pure
@@ -129,26 +143,42 @@ def build_phase_tables(ecn: jnp.ndarray, elig: jnp.ndarray, k: int):
     tables exist; index them by ``q % h``.  This halves the permute cost,
     the HBM traffic, and the kernel's VMEM block.
     """
-    B = ecn.shape[0]
+    B, NBT = ecnb.shape[0], ecnb.shape[1]
+    BN = B * NBT
     h = k // 2
     pr = (3 - jnp.arange(4, dtype=jnp.int32)).reshape(1, 4, 1)
-    ecn3 = ecn.reshape(B, 4, 4 ** k)
-    eKn = jnp.where(ecn3 > 0, (ecn3 << 2) + pr, 0).astype(jnp.uint16)
     # base layout (= phase q=k-1): rotate (E.., bb) by 1 so bb joins c,
-    # giving [B, 16(c,bb), E_{k-2}..E_0]; phase q=k-1-j is then a j-digit
+    # giving [BN, 16(c,bb), E_{k-2}..E_0]; phase q=k-1-j is then a j-digit
     # rotation of the E group, and eligp phases are (j+1)-digit rotations
     # of the natural state table.  All rotations run as large-granule
-    # transpose chains (_digit_rot).
-    eK = _digit_rot(eKn, k, 1).reshape(B, 16, 4 ** (k - 1))
-    el = elig.astype(jnp.int8).reshape(B, 4 ** k)
-    ewp, elp = [None] * h, [None] * h
+    # transpose chains (_digit_rot).  The step-bin axis rides the BATCH axis
+    # (BN = B*NBT) so every rotation stage is ONE op over all bins — per-op
+    # dispatch overhead, not bandwidth, dominates these transposes on-chip.
+    ecn3 = ecnb.reshape(BN, 4, 4 ** k)
+    eKn = jnp.where(ecn3 > 0, (ecn3 << 2) + pr, 0).astype(jnp.uint16)
+    eK = _digit_rot(eKn, k, 1).reshape(BN, 16, 4 ** (k - 1))
+    ewp = [None] * h
     for j in range(h):
         q = k - 1 - j                          # std phases; q % h indexes
         ewp[q % h] = (_digit_rot(eK, k - 1, j)
-                      .reshape(B, 16, 4 ** (k - 1 - h), 4 ** h))
+                      .reshape(B, NBT, 16, 4 ** (k - 1 - h), 4 ** h))
+    return jnp.stack(ewp, 2), build_elig_phases(elig, k)
+
+
+def build_elig_phases(elig: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Phase layouts of the sink-eligibility table: int8 [B, h, R, C].
+
+    eligp phases are (j+1)-digit rotations of the natural state table
+    (elig [B, 4^k] bool), deduped std/tr like the edge tables."""
+    B = elig.shape[0]
+    h = k // 2
+    el = elig.astype(jnp.int8).reshape(B, 4 ** k)
+    elp = [None] * h
+    for j in range(h):
+        q = k - 1 - j
         elp[q % h] = (_digit_rot(el, k, j + 1)
                       .reshape(B, 4 ** (k - h), 4 ** h))
-    return jnp.stack(ewp, 1), jnp.stack(elp, 1)
+    return jnp.stack(elp, 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -190,9 +220,11 @@ def _transpose(sc, impl: str):
     return jnp.where(scTi < -(2 ** 22), NEG, scTi)
 
 
-def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
-                *, k: int, t_lo: int, t_hi: int, transpose_impl: str):
+def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
+                transpose_impl: str):
     h = k // 2
+    ewp_refs = refs[:h]                      # per-phase [1,NBT,16,A,C] u16
+    eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h:]
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = pl.cdiv(t_hi, gsz)
@@ -201,6 +233,7 @@ def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
     bp_acc = None
 
     for tt in range(1, t_hi + 1):
+        jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
         q = (k - tt) % k
         std = q >= h
         g, field = divmod(tt - 1, gsz)
@@ -222,7 +255,7 @@ def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
         # adding a packed table entry (< 2^16) keeps it far below NEG_HALF.
         sc4 = sc << 2
         scv = sc4.reshape(A, 4, Bv, L)
-        ew = ewp_ref[0, q % h]                # [16, 4^(k-1-h), 4^h] u16
+        ew = ewp_refs[q % h][0, jbin]         # [16, 4^(k-1-h), 4^h] u16
 
         keys = []
         for bb in range(4):
@@ -257,43 +290,53 @@ def _cyc_kernel(ewp_ref, eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
                                             meta_ref[0, 1:2, :])
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "interpret",
-                                             "transpose_impl"))
-def cyc_dbg_dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
-               *, k: int, t_lo: int, t_hi: int, interpret: bool = False,
-               transpose_impl: str = "xlu"):
+@functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
+                                             "interpret", "transpose_impl"))
+def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray,
+               *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
+               interpret: bool = False, transpose_impl: str = "xlu"):
     """(bpp [B, nG, R, C] u8 2-bit-packed, ends [B, nT] i32 NATURAL,
     endok [B, nT] bool).
 
-    ecn: int32 [B, 4^(k+1)] natural edge counts; src/snk: int32 [B, 4^k].
+    ewps: tuple of h = k//2 uint16 packed-key phase tables
+    [B, NBT, 16, 4^(k-1-h), 4^h] (consensus_step._build_tables
+    edges_layout="phases", or the legacy build_phase_tables pre-permute);
+    DP step tt uses step-bin table min((tt-1)//g_step, NBT-1) of phase
+    (k-tt) % k % h.  src/snk: int32 [B, 4^k].
     """
     assert t_lo >= 1 and k % 2 == 0
     B, M = src.shape
     h = k // 2
+    assert len(ewps) == h
+    NBT = ewps[0].shape[1]
+    if g_step <= 0:
+        g_step = max(t_hi, 1)
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = -(-t_hi // gsz)
     nT = t_hi - t_lo + 1
     assert nT <= 128
 
-    ewp, eligp = build_phase_tables(ecn, snk > 0, k)
+    eligp = build_elig_phases(snk > 0, k)
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)          # first max
     score0 = jnp.full((B, M), NEG, jnp.int32).at[
         jnp.arange(B), source].set(jnp.where(have_src, 0, NEG)
                                    ).reshape(B, R, C)
 
+    ew_spec = pl.BlockSpec((1, NBT, 16, 4 ** (k - 1 - h), 4 ** h),
+                           lambda b: (b, 0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
+                          g_step=g_step, nbt=NBT,
                           transpose_impl=transpose_impl),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct((B, nG, R, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec((1, h, 16, 4 ** (k - 1 - h), 4 ** h),
-                         lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=[ew_spec] * h + [
             pl.BlockSpec((1, h, R, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
@@ -307,12 +350,12 @@ def cyc_dbg_dp(ecn: jnp.ndarray, src: jnp.ndarray, snk: jnp.ndarray,
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        # block VMEM is ~5.4MB (ewp 4MB dominates); with double-buffering and
-        # loop temporaries the scoped need is ~25MB — above the 16MB default
-        # but well under the chip's VMEM (v5e: 128MB).  Raise the limit.
+        # block VMEM is ~NBT*2MB ewp + ~1MB rest; with double-buffering and
+        # loop temporaries the scoped need stays well under the chip's VMEM
+        # (v5e: 128MB).  Raise the 16MB default limit.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(ewp, eligp, score0, jnp.asarray(_natmaps(k)))
+    )(*ewps, eligp, score0, jnp.asarray(_natmaps(k)))
     ends = meta[:, 0, :nT]
     endok = (meta[:, 1, :nT] != 0) & have_src[:, None]
     return bpp, ends, endok

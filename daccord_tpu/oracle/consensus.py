@@ -64,7 +64,8 @@ def stitch(winners: List[Optional[np.ndarray]], cfg: DaccordConfig
 
 def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
                  plq: np.ndarray, cache: ReadCache,
-                 stats: Optional[OracleStats] = None
+                 stats: Optional[OracleStats] = None,
+                 pbw: Optional[np.ndarray] = None
                  ) -> List[Tuple[int, int, np.ndarray]]:
     """Corrected fragments for one read (SURVEY §3.1 hot region)."""
     A = db.read_codes(aread)
@@ -80,7 +81,7 @@ def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
                 stats.windows_failed_cov += 1
             winners.append(None)
             continue
-        res, kused = window_consensus_adaptive(wp.strings, cfg, plq)
+        res, kused = window_consensus_adaptive(wp.strings, cfg, plq, pbw)
         if stats and kused == cfg.k2:
             stats.k2_retries += 1
         if stats and res is not None:
@@ -92,6 +93,16 @@ def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
 
 def build_plq(profile: ErrorProfile, cfg: DaccordConfig) -> np.ndarray:
     return offset_likely_q16(cfg.wprime, cfg.w, profile.e_ins, profile.e_del)
+
+
+def build_pbw(profile: ErrorProfile, cfg: DaccordConfig
+              ) -> Optional[np.ndarray]:
+    """Positional edge-weight kernel, or None when pos_weight is off."""
+    if not cfg.pos_weight:
+        return None
+    from daccord_tpu.oracle.offset_likely import pos_bin_weights_q6
+    return pos_bin_weights_q6(cfg.wprime, cfg.pos_bin,
+                              profile.e_ins, profile.e_del)
 
 
 def select_read_ids(nreads: int, cfg: DaccordConfig) -> range:
@@ -114,12 +125,13 @@ def run_oracle(db_path: str, las_path: str, cfg: DaccordConfig,
         else:
             profile = estimate_error_profile(db, las, cfg)
     plq = build_plq(profile, cfg)
+    pbw = build_pbw(profile, cfg)
     cache = ReadCache(db)
     stats = OracleStats()
     records: List[Tuple[str, str]] = []
     for aread in select_read_ids(db.nreads, cfg):
         stats.reads += 1
-        frags = correct_read(db, las, aread, cfg, plq, cache, stats)
+        frags = correct_read(db, las, aread, cfg, plq, cache, stats, pbw)
         A = None
         if cfg.f:
             A = db.read_codes(aread)

@@ -17,6 +17,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from daccord_tpu.align.editdp import PAD, batch_edit_distance
+from daccord_tpu.oracle.offset_likely import PBW_CLAMP
 from daccord_tpu.utils.config import DaccordConfig
 
 NEG = -(2 ** 29)
@@ -33,11 +34,14 @@ def kmer_codes(s: np.ndarray, k: int) -> np.ndarray:
 
 
 def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
-                     plq: np.ndarray, k: int) -> Optional[np.ndarray]:
+                     plq: np.ndarray, k: int,
+                     pbw: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     """Winner consensus for one window at k-mer size k, or None on failure.
 
     strings: S[0]=A substring then B' substrings (ALGORITHM §2).
     plq: int32 [W', w+1] Q16 offset-likelihood table (columns o=0..w).
+    pbw: optional int32 [NB, NB] Q6 positional edge-weight kernel (ALGORITHM
+    §4; offset_likely.pos_bin_weights_q6).  None = unweighted v1 counts.
     """
     w = cfg.w
     if w - k < 0:
@@ -45,7 +49,7 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
 
     # ---- k-mer occurrence table: SRC / SNK scores (ALGORITHM §4) ----
     kcodes_all, kpos_all = [], []
-    ecodes_all = []
+    ecodes_all, epos_all = [], []
     for s in strings:
         kc = kmer_codes(s, k)
         if len(kc):
@@ -54,11 +58,13 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
         ec = kmer_codes(s, k + 1)
         if len(ec):
             ecodes_all.append(ec)
+            epos_all.append(np.arange(len(ec), dtype=np.int64))
     if not kcodes_all or not ecodes_all:
         return None
     kcodes = np.concatenate(kcodes_all)
     kpos = np.concatenate(kpos_all)
     ecodes = np.concatenate(ecodes_all)
+    epos = np.concatenate(epos_all)
 
     nodes = np.unique(kcodes)                       # sorted by code
     nidx_of = lambda c: np.searchsorted(nodes, c)   # noqa: E731
@@ -72,8 +78,23 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
         return None
     source_n = int(np.argmax(src))                  # first max = smallest code
 
-    # ---- edges from (k+1)-mers ----
-    ecu, ecnt = np.unique(ecodes, return_counts=True)
+    t_exp = w - k
+    t_lo = max(0, t_exp - cfg.path_delta)
+    t_hi = t_exp + cfg.path_delta
+
+    # ---- edges from (k+1)-mers, weighted per step bin (ALGORITHM §4) ----
+    if pbw is None:
+        ecu, ecnt = np.unique(ecodes, return_counts=True)
+        wbins = ecnt[:, None].astype(np.int64)       # one bin covers all steps
+        g_step = max(t_hi, 1)
+    else:
+        g_step = cfg.pos_bin
+        ecu, einv = np.unique(ecodes, return_inverse=True)
+        nbp = pbw.shape[0]
+        rows = pbw[np.minimum(epos // g_step, nbp - 1)].astype(np.int64)
+        wbins = np.zeros((len(ecu), pbw.shape[1]), dtype=np.int64)
+        np.add.at(wbins, einv, rows)
+        wbins = np.minimum(wbins, PBW_CLAMP)
     mask_k = (1 << (2 * k)) - 1
     e_u = ecu >> 2                                  # source k-mer code
     e_v = ecu & mask_k                              # target k-mer code
@@ -82,17 +103,13 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
     uok = np.isin(e_u, nodes)
     vok = np.isin(e_v, nodes)
     keep = uok & vok
-    e_u, e_v, e_c, ecnt = e_u[keep], e_v[keep], e_c[keep], ecnt[keep]
+    e_u, e_v, e_c, wbins = e_u[keep], e_v[keep], e_c[keep], wbins[keep]
     if len(e_u) == 0:
         return None
     eui = nidx_of(e_u)
     evi = nidx_of(e_v)
-    ew = ecnt.astype(np.int64)
 
     # ---- max-plus DP with backpointers (ALGORITHM §4) ----
-    t_exp = w - k
-    t_lo = max(0, t_exp - cfg.path_delta)
-    t_hi = t_exp + cfg.path_delta
     score = np.full(len(nodes), NEG, dtype=np.int64)
     score[source_n] = 0
     bp_edge: List[np.ndarray] = [np.full(len(nodes), -1, dtype=np.int64)]
@@ -109,12 +126,15 @@ def window_consensus(strings: List[np.ndarray], cfg: DaccordConfig,
         e0 = pick_end(score)
         ends.append((0, e0) if e0 is not None else (0, -1))
     for t in range(1, t_hi + 1):
-        live = score[eui] > NEG_HALF
+        # step t consumes the edge at path offset t-1: use that step-bin's
+        # positionally weighted counts; weight 0 = edge absent at this step
+        wt = wbins[:, min((t - 1) // g_step, wbins.shape[1] - 1)]
+        live = (score[eui] > NEG_HALF) & (wt > 0)
         new = np.full(len(nodes), NEG, dtype=np.int64)
         bpt = np.full(len(nodes), -1, dtype=np.int64)
         if live.any():
             le = np.nonzero(live)[0]
-            cand = score[eui[le]] + ew[le]
+            cand = score[eui[le]] + wt[le]
             order = np.lexsort((e_c[le], -cand, evi[le]))
             vo = evi[le][order]
             first = np.ones(len(vo), dtype=bool)
@@ -187,10 +207,12 @@ def _decode(code: int, k: int) -> List[int]:
 
 
 def window_consensus_adaptive(strings: List[np.ndarray], cfg: DaccordConfig,
-                              plq: np.ndarray) -> Tuple[Optional[np.ndarray], int]:
+                              plq: np.ndarray,
+                              pbw: Optional[np.ndarray] = None
+                              ) -> Tuple[Optional[np.ndarray], int]:
     """k=8 then k2=12 retry (ALGORITHM §6). Returns (winner or None, k used)."""
-    res = window_consensus(strings, cfg, plq, cfg.k)
+    res = window_consensus(strings, cfg, plq, cfg.k, pbw)
     if res is not None:
         return res, cfg.k
-    res = window_consensus(strings, cfg, plq, cfg.k2)
+    res = window_consensus(strings, cfg, plq, cfg.k2, pbw)
     return res, (cfg.k2 if res is not None else 0)

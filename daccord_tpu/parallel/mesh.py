@@ -14,6 +14,7 @@ Parallelism mapping for this workload (SURVEY §2.4):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -33,26 +34,35 @@ def make_mesh(n_devices: Optional[int] = None, model: int = 1) -> Mesh:
 
 def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
     """Jitted consensus step with the batch axis sharded over `data` and the
-    (k+1)-mer edge-count / DBG tensors allowed to split over `model`."""
-    in_shardings = (
-        NamedSharding(mesh, P("data", None, None)),   # S
-        NamedSharding(mesh, P("data", None)),         # slen
-        NamedSharding(mesh, P("data")),               # nstr
-        NamedSharding(mesh, P()),                     # plq_src
-        NamedSharding(mesh, P()),                     # plq_snk
-    )
-    out_shardings = (
-        NamedSharding(mesh, P("data")),
-        NamedSharding(mesh, P("data")),
-        NamedSharding(mesh, P("data", None)),
-        NamedSharding(mesh, P("data")),
-    )
+    (k+1)-mer edge-count / DBG tensors allowed to split over `model`.
+
+    The returned callable takes (S, slen, nstr, plq_src, plq_snk, pbw);
+    pass pbw=None when cfg.pos_weight is off.
+    """
+    shard_b3 = NamedSharding(mesh, P("data", None, None))
+    shard_b2 = NamedSharding(mesh, P("data", None))
+    shard_b1 = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    out_shardings = (shard_b1, shard_b1, shard_b2, shard_b1)
 
     from daccord_tpu.pipeline.batcher import e_q6_of
 
-    def fn(S, slen, nstr, plq_src, plq_snk):
-        return tuple(consensus_step(S, slen, nstr, plq_src, plq_snk,
+    def fn(S, slen, nstr, plq_src, plq_snk, pbw):
+        return tuple(consensus_step(S, slen, nstr, plq_src, plq_snk, pbw,
                                     k=k, w=cfg.w, path_delta=cfg.path_delta,
-                                    e_q6=e_q6_of(cfg)))
+                                    e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin))
 
-    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
+    jit_with = jax.jit(fn, in_shardings=(shard_b3, shard_b2, shard_b1,
+                                         repl, repl, repl),
+                       out_shardings=out_shardings)
+    jit_without = jax.jit(functools.partial(fn, pbw=None),
+                          in_shardings=(shard_b3, shard_b2, shard_b1,
+                                        repl, repl),
+                          out_shardings=out_shardings)
+
+    def call(S, slen, nstr, plq_src, plq_snk, pbw=None):
+        if pbw is None:
+            return jit_without(S, slen, nstr, plq_src, plq_snk)
+        return jit_with(S, slen, nstr, plq_src, plq_snk, pbw)
+
+    return call

@@ -54,14 +54,15 @@ def pack_windows(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
 
 def dispatch_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
                    plq: np.ndarray, k: int, batch: int,
-                   d1: Optional[int] = None) -> ConsensusOut:
+                   d1: Optional[int] = None,
+                   pbw: Optional[np.ndarray] = None) -> ConsensusOut:
     """Queue one device batch; returns un-fetched device arrays."""
     S, slen, nstr = pack_windows(piles, cfg, batch, d1)
     plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)
     plq_snk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - k], dtype=np.int32)
-    return consensus_step(S, slen, nstr, plq_src, plq_snk,
+    return consensus_step(S, slen, nstr, plq_src, plq_snk, pbw,
                           k=k, w=cfg.w, path_delta=cfg.path_delta,
-                          e_q6=e_q6_of(cfg))
+                          e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
 
 
 def e_q6_of(cfg: DaccordConfig) -> int:
@@ -85,12 +86,14 @@ def collect_batch(out: ConsensusOut, n: int) -> List[Optional[np.ndarray]]:
 
 def consensus_batch(piles: Sequence[Sequence[np.ndarray]], cfg: DaccordConfig,
                     plq: np.ndarray, k: int, batch: Optional[int] = None,
-                    d1: Optional[int] = None) -> List[Optional[np.ndarray]]:
+                    d1: Optional[int] = None,
+                    pbw: Optional[np.ndarray] = None
+                    ) -> List[Optional[np.ndarray]]:
     """Synchronous convenience wrapper (tests, small runs).
 
     Bit-identical to oracle.window_consensus on each pile (tests enforce).
     """
     if not piles:
         return []
-    out = dispatch_batch(piles, cfg, plq, k, batch or len(piles), d1)
+    out = dispatch_batch(piles, cfg, plq, k, batch or len(piles), d1, pbw)
     return collect_batch(out, len(piles))

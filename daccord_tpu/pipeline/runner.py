@@ -23,7 +23,7 @@ import numpy as np
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
 from daccord_tpu.formats.las import LasFile, open_piles
-from daccord_tpu.oracle.consensus import build_plq, select_read_ids
+from daccord_tpu.oracle.consensus import build_pbw, build_plq, select_read_ids
 from daccord_tpu.oracle.dbg import window_consensus
 from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
 from daccord_tpu.pipeline.batcher import bucket_d1, e_q6_of
@@ -111,6 +111,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         else:
             profile = estimate_error_profile(db, las, cfg)
     plq = build_plq(profile, cfg)
+    pbw = build_pbw(profile, cfg)
     stats = RunStats()
 
     # ---- host front half + streamed device dispatch ----
@@ -161,8 +162,8 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         from daccord_tpu.parallel.mesh import make_mesh, sharded_consensus
         _mesh_fn = sharded_consensus(make_mesh(), cfg, cfg.k)
 
-        def _cstep(S, slen, nstr, ps, pk, **_kw):
-            return ConsensusOut(*_mesh_fn(S, slen, nstr, ps, pk))
+        def _cstep(S, slen, nstr, ps, pk, pw, **_kw):
+            return ConsensusOut(*_mesh_fn(S, slen, nstr, ps, pk, pw))
     else:
         _cstep = _single_step
 
@@ -198,9 +199,9 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 chunk = bjobs[off:off + BS]
                 S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
                                                 cfg, BS, d1)
-                out = _cstep(S, slen, nstr, plq_src, plq_snk, k=cfg.k,
+                out = _cstep(S, slen, nstr, plq_src, plq_snk, pbw, k=cfg.k,
                              w=cfg.w, path_delta=cfg.path_delta,
-                             e_q6=e_q6_of(cfg))
+                             e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
                 pending.append((chunk, out))
                 stats.batches += 1
 
@@ -225,7 +226,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                     # adaptive k2 retry (host sparse pass, ALGORITHM §6);
                     # strings reconstructed lazily from the row table
                     strings = reads_rows[slot].window_strings(wi)
-                    r = window_consensus(strings, cfg, plq, cfg.k2)
+                    r = window_consensus(strings, cfg, plq, cfg.k2, pbw)
                     if r is not None:
                         stats.k2_retries += 1
                 if r is not None:

@@ -35,6 +35,9 @@ class DaccordConfig:
     k2: int = 12               # adaptive-k retry size (SURVEY §2.1)
     path_delta: int = 4        # path-length slack around w-k (ALGORITHM §4)
     eprof_sample: int = 32     # reads sampled for error-profile estimation
+    pos_weight: bool = True    # positional (k+1)-mer edge weighting (§4,
+                               # the OffsetLikely count-weighting analog)
+    pos_bin: int = 8           # position/step bin width g for pos_weight
 
     # --- device batching knobs (shape menu; SURVEY §7.3 item 2) ---
     batch_windows: int = 256   # windows per device batch

@@ -94,7 +94,8 @@ def run_variant(name, endpick, bp, trans, ecn, src, snk, k, t_lo, t_hi):
     R = C = 4 ** h
     gsz = h
     nG = -(-t_hi // gsz)
-    ewp, eligp = build_phase_tables(ecn, snk > 0, k)
+    ewp, eligp = build_phase_tables(ecn[:, None], snk > 0, k)
+    ewp = ewp[:, 0]                               # unweighted: NBT == 1
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)
     score0 = jnp.full((B, M), NEG, jnp.int32).at[
@@ -122,10 +123,7 @@ def run_variant(name, endpick, bp, trans, ecn, src, snk, k, t_lo, t_hi):
                                 memory_space=pltpu.VMEM)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
     )
-    g = jax.jit(lambda e, s0: f(*build_phase_tables(e, s0 > 0, k)[0:1],
-                                build_phase_tables(e, s0 > 0, k)[1],
-                                score0, jnp.asarray(_natmaps(k))))
-    # simpler: close over precomputed ewp/eligp to time the kernel alone
+    # close over precomputed ewp/eligp to time the kernel alone
     jf = jax.jit(lambda a, b_, c_, d_: f(a, b_, c_, d_))
     natp = jnp.asarray(_natmaps(k))
     t = timeit(jf, ewp, eligp, score0, natp)
@@ -146,11 +144,12 @@ def main():
     t_lo, t_hi = w - k - pd, w - k + pd
     B = 256
     S, slen, nstr = synth_inputs(B, 9, cfg)
-    j_tables = jax.jit(lambda *a: cs._build_tables(*a, k=k))
-    src, snk, ecn = j_tables(S, slen, nstr, plq_src, plq_snk)
+    j_tables = jax.jit(lambda *a: cs._build_tables(*a, None, k=k, t_hi=t_hi))
+    src, snk, ecnb = j_tables(S, slen, nstr, plq_src, plq_snk)
+    ecn = ecnb[:, 0]
 
     # time build_phase_tables alone (XLA pre-permute, outside the kernel)
-    jpt = jax.jit(lambda e, s: build_phase_tables(e, s > 0, k))
+    jpt = jax.jit(lambda e, s: build_phase_tables(e[:, None], s > 0, k))
     t = timeit(jpt, ecn, snk)
     print(f"phase-tables B={B}: {t*1e3:7.2f}ms  ({t/B*1e6:.1f} us/win)",
           flush=True)

@@ -35,11 +35,14 @@ def main():
     x = jnp.zeros((256, 256), jnp.int32)
     print(f"trivial: {timeit(triv, x)*1e3:7.2f}ms", flush=True)
 
-    j_tables = jax.jit(lambda *a: cs._build_tables(*a, k=k))
     for impl in ("scan", "cyc"):
+        layout = "phases" if impl.startswith("cyc") else "natural"
+        j_tables = jax.jit(lambda *a, layout=layout: cs._build_tables(
+            *a, None, k=k, t_hi=t_hi, edges_layout=layout))
         def _dp_arrays(e, s, n):
             (_t, bps), ends, endok = cs._dp(e, s, n, k=k, t_lo=t_lo,
-                                            t_hi=t_hi, dp_impl=impl)
+                                            t_hi=t_hi, g_step=t_hi,
+                                            dp_impl=impl)
             return bps, ends, endok
         j_dp = jax.jit(_dp_arrays)
         for B in (32, 64, 128, 256):

@@ -58,20 +58,28 @@ def synth_inputs(B, D1, cfg, seed=0):
 def main():
     cfg = DaccordConfig(batch_windows=256)
     from daccord_tpu.oracle.eprof import ErrorProfile
-    from daccord_tpu.oracle.consensus import build_plq
-    plq = build_plq(ErrorProfile(0.03, 0.08, 0.04), cfg)
+    from daccord_tpu.oracle.consensus import build_pbw, build_plq
+    prof = ErrorProfile(0.03, 0.08, 0.04)
+    plq = build_plq(prof, cfg)
+    pbw = build_pbw(prof, cfg)
+    if os.environ.get("PROFILE_NO_PBW"):
+        pbw = None
     plq_src = jnp.asarray(np.ascontiguousarray(plq[:cfg.wprime, 0], np.int32))
     plq_snk = jnp.asarray(
         np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k], np.int32))
     k, w, pd = cfg.k, cfg.w, cfg.path_delta
     t_lo, t_hi = w - k - pd, w - k + pd
+    g_step = cfg.pos_bin if pbw is not None else max(t_hi, 1)
 
     impl = sys.argv[1] if len(sys.argv) > 1 else "scan"
 
-    j_tables = jax.jit(lambda *a: cs._build_tables(*a, k=k))
+    layout = "phases" if impl.startswith("cyc") else "natural"
+    j_tables = jax.jit(lambda *a: cs._build_tables(
+        *a, pbw, k=k, t_hi=t_hi, pos_bin=cfg.pos_bin, edges_layout=layout))
     def _dp_arrays(e, s, n):
         (_tag, bps), ends, endok = cs._dp(e, s, n, k=k, t_lo=t_lo,
-                                          t_hi=t_hi, dp_impl=impl)
+                                          t_hi=t_hi, g_step=g_step,
+                                          dp_impl=impl)
         return bps, ends, endok
     j_dp = jax.jit(_dp_arrays)
     if impl.startswith("cyc"):
@@ -83,7 +91,8 @@ def main():
     j_sc = jax.jit(lambda S, sl, ns, c, l, eo: cs._score_pick(
         S, sl, ns, c, l, eo, k=k, w=w, t_lo=t_lo, t_hi=t_hi, e_q6=1_000_000))
     j_full = lambda S, sl, ns: cs.consensus_step(
-        S, sl, ns, plq_src, plq_snk, k=k, w=w, path_delta=pd, dp_impl=impl)
+        S, sl, ns, plq_src, plq_snk, pbw, k=k, w=w, path_delta=pd,
+        dp_impl=impl, pos_bin=cfg.pos_bin)
 
     print(f"devices: {jax.devices()}  impl={impl}", file=sys.stderr)
     for (B, D1) in [(256, 9), (256, 17), (256, 65)]:
