@@ -65,15 +65,20 @@ def stitch(winners: List[Optional[np.ndarray]], cfg: DaccordConfig
 def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
                  plq: np.ndarray, cache: ReadCache,
                  stats: Optional[OracleStats] = None,
-                 pbw: Optional[np.ndarray] = None
+                 pbw: Optional[np.ndarray] = None,
+                 tables: Optional["ConsensusTables"] = None
                  ) -> List[Tuple[int, int, np.ndarray]]:
-    """Corrected fragments for one read (SURVEY §3.1 hot region)."""
+    """Corrected fragments for one read (SURVEY §3.1 hot region).
+
+    Either pass fixed (plq, pbw) tables, or ``tables`` for per-window
+    positional selection (ALGORITHM §7 v2)."""
     A = db.read_codes(aread)
+    rlen = len(A)
     pile = las.pile(aread)
     realigned, _ = realign_pile(A, pile, cache, las.tspace, w=cfg.w, a=cfg.a)
     wps = extract_windows(A, realigned, cfg)
     winners: List[Optional[np.ndarray]] = []
-    for wp in wps:
+    for wi, wp in enumerate(wps):
         if stats:
             stats.windows += 1
         if wp.failed_coverage:
@@ -81,6 +86,8 @@ def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
                 stats.windows_failed_cov += 1
             winners.append(None)
             continue
+        if tables is not None:
+            plq, pbw = tables.for_window(wi * cfg.a, rlen)
         res, kused = window_consensus_adaptive(wp.strings, cfg, plq, pbw)
         if stats and kused == cfg.k2:
             stats.k2_retries += 1
@@ -105,6 +112,51 @@ def build_pbw(profile: ErrorProfile, cfg: DaccordConfig
                               profile.e_ins, profile.e_del)
 
 
+class ConsensusTables:
+    """PLq/PBW tables per read-position bin (ALGORITHM §3, §7 v2).
+
+    With a PositionalErrorProfile (the positional eprof of the reference,
+    SURVEY §2.1), each read-position decile gets tables built from its own
+    indel rates; windows select by the decile of their midpoint.  Identical
+    rate pairs share tables, so a scalar/uniform profile degenerates to one
+    table set (v1 behavior).  Both the oracle and the device runner consume
+    THIS object, keeping oracle == device equality by construction."""
+
+    def __init__(self, profile, cfg: DaccordConfig):
+        from daccord_tpu.oracle.eprof import PositionalErrorProfile
+        self.cfg = cfg
+        if isinstance(profile, PositionalErrorProfile):
+            profs = [profile.bin_profile(b).rounded()
+                     for b in range(len(profile.e_sub))]
+        else:
+            profs = [profile]
+        self.nbins = len(profs)
+        self.bin_table = []
+        self.plq: list = []
+        self.pbw: list = []
+        keys: dict = {}
+        for p in profs:
+            key = (round(p.e_ins, 6), round(p.e_del, 6))
+            if key not in keys:
+                keys[key] = len(self.plq)
+                self.plq.append(build_plq(p, cfg))
+                self.pbw.append(build_pbw(p, cfg))
+            self.bin_table.append(keys[key])
+
+    def table_of(self, ws: int, rlen: int) -> int:
+        """Shared-table index for the window starting at ws of a read of
+        length rlen (pinned: decile of the window midpoint)."""
+        if self.nbins == 1:
+            return 0
+        b = min(self.nbins - 1,
+                self.nbins * (ws + self.cfg.w // 2) // max(rlen, 1))
+        return self.bin_table[b]
+
+    def for_window(self, ws: int, rlen: int):
+        t = self.table_of(ws, rlen)
+        return self.plq[t], self.pbw[t]
+
+
 def select_read_ids(nreads: int, cfg: DaccordConfig) -> range:
     """-I interval then -J contiguous part (pinned split, ALGORITHM §8)."""
     lo, hi = (0, nreads) if cfg.I is None else (cfg.I[0], min(cfg.I[1], nreads))
@@ -114,24 +166,26 @@ def select_read_ids(nreads: int, cfg: DaccordConfig) -> range:
 
 
 def run_oracle(db_path: str, las_path: str, cfg: DaccordConfig,
-               profile: Optional[ErrorProfile] = None
+               profile=None
                ) -> Tuple[List[Tuple[str, str]], OracleStats]:
     """Full oracle run -> (FASTA records, stats). Deterministic (ALGORITHM §8)."""
     db = DazzlerDB.open(db_path)
     las = open_piles(las_path)
     if profile is None:
         if cfg.E is not None:
-            profile = ErrorProfile.load(cfg.E)
+            from daccord_tpu.oracle.eprof import load_profile
+            profile = load_profile(cfg.E)
         else:
-            profile = estimate_error_profile(db, las, cfg)
-    plq = build_plq(profile, cfg)
-    pbw = build_pbw(profile, cfg)
+            from daccord_tpu.oracle.eprof import estimate_error_profile_v2
+            profile = estimate_error_profile_v2(db, las, cfg)
+    tables = ConsensusTables(profile, cfg)
     cache = ReadCache(db)
     stats = OracleStats()
     records: List[Tuple[str, str]] = []
     for aread in select_read_ids(db.nreads, cfg):
         stats.reads += 1
-        frags = correct_read(db, las, aread, cfg, plq, cache, stats, pbw)
+        frags = correct_read(db, las, aread, cfg, None, cache, stats,
+                             tables=tables)
         A = None
         if cfg.f:
             A = db.read_codes(aread)

@@ -23,9 +23,8 @@ import numpy as np
 
 from daccord_tpu.formats.dazzler_db import DazzlerDB, codes_to_str
 from daccord_tpu.formats.las import LasFile, open_piles
-from daccord_tpu.oracle.consensus import build_pbw, build_plq, select_read_ids
+from daccord_tpu.oracle.consensus import select_read_ids
 from daccord_tpu.oracle.dbg import window_consensus
-from daccord_tpu.oracle.eprof import ErrorProfile, estimate_error_profile
 from daccord_tpu.pipeline.batcher import bucket_d1, e_q6_of
 from daccord_tpu.pipeline.windows import ReadCache, realign_pile
 from daccord_tpu.utils.config import DaccordConfig
@@ -95,7 +94,7 @@ def _front_half_device(db, las, cfg, read_ids):
 
 
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
-            profile: Optional[ErrorProfile] = None,
+            profile=None,
             use_mesh: Optional[bool] = None
             ) -> Tuple[List[Tuple[str, str]], RunStats]:
     """Full corrected-FASTA run using the device consensus step.
@@ -107,11 +106,13 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     las = open_piles(las_path)
     if profile is None:
         if cfg.E is not None:
-            profile = ErrorProfile.load(cfg.E)
+            from daccord_tpu.oracle.eprof import load_profile
+            profile = load_profile(cfg.E)
         else:
-            profile = estimate_error_profile(db, las, cfg)
-    plq = build_plq(profile, cfg)
-    pbw = build_pbw(profile, cfg)
+            from daccord_tpu.oracle.eprof import estimate_error_profile_v2
+            profile = estimate_error_profile_v2(db, las, cfg)
+    from daccord_tpu.oracle.consensus import ConsensusTables
+    tables = ConsensusTables(profile, cfg)
     stats = RunStats()
 
     # ---- host front half + streamed device dispatch ----
@@ -181,10 +182,16 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 results = list(ex.map(front_half, enumerate(read_ids)))
             reads_rows = [rr for _, rr in sorted(results)]
         rpool = RowPool(reads_rows)
-    # phase B: bucket windows + dispatch padded batches (async enqueue)
-    plq_src = np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32)
-    plq_snk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k],
-                                   dtype=np.int32)
+    # phase B: bucket windows + dispatch padded batches (async enqueue);
+    # buckets are keyed (depth, plq-table) so positional-eprof table groups
+    # (ALGORITHM §7 v2) ride the existing shape-menu batching
+    rlens = [int(db.rlen[aread]) for aread in read_ids]
+    plq_cols = []
+    for plq in tables.plq:
+        plq_cols.append((
+            np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32),
+            np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k],
+                                 dtype=np.int32)))
     with log.phase("dispatch"):
         for slot, rr in enumerate(reads_rows):
             nwin_per_read[slot] = rr.nwin
@@ -192,15 +199,17 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             stats.windows_failed_cov += int(rr.failed.sum())
             for wi in np.flatnonzero(~rr.failed):
                 d1 = bucket_d1(int(rr.nstr[wi]), cap_d1)
-                buckets.setdefault(d1, []).append((slot, int(wi)))
-        for d1 in sorted(buckets):
-            bjobs = buckets[d1]
+                tb = tables.table_of(int(wi) * cfg.a, rlens[slot])
+                buckets.setdefault((d1, tb), []).append((slot, int(wi)))
+        for (d1, tb) in sorted(buckets):
+            bjobs = buckets[(d1, tb)]
+            plq_src, plq_snk = plq_cols[tb]
             for off in range(0, len(bjobs), BS):
                 chunk = bjobs[off:off + BS]
                 S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
                                                 cfg, BS, d1)
-                out = _cstep(S, slen, nstr, plq_src, plq_snk, pbw, k=cfg.k,
-                             w=cfg.w, path_delta=cfg.path_delta,
+                out = _cstep(S, slen, nstr, plq_src, plq_snk, tables.pbw[tb],
+                             k=cfg.k, w=cfg.w, path_delta=cfg.path_delta,
                              e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
                 pending.append((chunk, out))
                 stats.batches += 1
@@ -226,7 +235,8 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                     # adaptive k2 retry (host sparse pass, ALGORITHM §6);
                     # strings reconstructed lazily from the row table
                     strings = reads_rows[slot].window_strings(wi)
-                    r = window_consensus(strings, cfg, plq, cfg.k2, pbw)
+                    plq_w, pbw_w = tables.for_window(wi * cfg.a, rlens[slot])
+                    r = window_consensus(strings, cfg, plq_w, cfg.k2, pbw_w)
                     if r is not None:
                         stats.k2_retries += 1
                 if r is not None:

@@ -38,12 +38,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.save_eprof:
         from daccord_tpu.formats.dazzler_db import DazzlerDB
         from daccord_tpu.formats.las import open_piles
-        from daccord_tpu.oracle.eprof import estimate_error_profile
-        prof = estimate_error_profile(
+        from daccord_tpu.oracle.eprof import estimate_error_profile_v2
+        prof = estimate_error_profile_v2(
             DazzlerDB.open(args.db), open_piles(args.las), cfg)
         prof.save(args.save_eprof)
-        print(f"[daccord] error profile -> {args.save_eprof}: {prof}",
-              file=sys.stderr)
+        print(f"[daccord] positional error profile -> {args.save_eprof}: "
+              f"{prof.scalar()}", file=sys.stderr)
         return 0
 
     from daccord_tpu.utils.obslog import maybe_profile

@@ -120,9 +120,10 @@ def test_daccord_save_eprof_roundtrip(dataset, tmp_path):
     from daccord_tpu.tools.daccord import main
     ep = str(tmp_path / "prof.json")
     assert main([las_path, db_path, "--save-eprof", ep]) == 0
-    from daccord_tpu.oracle.eprof import ErrorProfile
-    prof = ErrorProfile.load(ep)
-    assert prof.n_bases > 0
+    from daccord_tpu.oracle.eprof import PositionalErrorProfile, load_profile
+    prof = load_profile(ep)
+    assert isinstance(prof, PositionalErrorProfile)
+    assert prof.scalar().n_bases > 0
     # reuse via -E gives identical output to inline estimation
     o1, o2 = str(tmp_path / "a.fa"), str(tmp_path / "b.fa")
     assert main([las_path, db_path, "--oracle", "--out", o1, "-I", "0,2"]) == 0
