@@ -541,6 +541,17 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     (bp_tag, bps), ends, endok = _dp(edges, src, snk, k=k, t_lo=t_lo,
                                      t_hi=t_hi, g_step=g_step,
                                      dp_impl=dp_impl)
+    if t_lo == 0:
+        # oracle fails a window with no observed (k+1)-mer edges outright,
+        # even when a T=0 source-only candidate would be eligible
+        # (oracle/dbg.py "len(e_u) == 0"); for t_lo >= 1 no candidate can
+        # exist without edges anyway
+        D1, Wp = S.shape[1], S.shape[2]
+        pos2 = jnp.arange(Wp - k, dtype=jnp.int32)
+        dval = jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None]
+        evalid = ((pos2[None, None, :] + k + 1 <= slen[:, :, None])
+                  & dval[:, :, None])
+        endok = endok & evalid.reshape(S.shape[0], -1).any(axis=1)[:, None]
     if bp_tag == "cyc":
         cands, lc = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
     else:

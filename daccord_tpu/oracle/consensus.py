@@ -30,6 +30,7 @@ class OracleStats:
     windows_ok: int = 0
     windows_failed_cov: int = 0
     k2_retries: int = 0
+    k2_attempts: int = 0
     fragments: int = 0
 
 
@@ -89,6 +90,8 @@ def correct_read(db: DazzlerDB, las: LasFile, aread: int, cfg: DaccordConfig,
         if tables is not None:
             plq, pbw = tables.for_window(wi * cfg.a, rlen)
         res, kused = window_consensus_adaptive(wp.strings, cfg, plq, pbw)
+        if stats and kused != cfg.k:
+            stats.k2_attempts += 1
         if stats and kused == cfg.k2:
             stats.k2_retries += 1
         if stats and res is not None:

@@ -4,8 +4,9 @@ Mirrors SURVEY §3.1's call stack with the TPU-first structure of SURVEY §7.1:
 
   host: pile load -> decode -> batched trace realignment -> window stacks
   device: dense batched consensus (ops/consensus_step.py) at k=8
-  host: adaptive k2 retry on failed windows (masked second pass; sparse
-        oracle DP — the k=12 universe is handled sparsely, SURVEY §7.3 item 6)
+  device: adaptive k2 retry on failed windows, batched sparse step
+          (ops/sparse_k2.py; SURVEY §7.3 item 6) — host sparse oracle for
+          tiny batches (k2_impl, both bit-identical)
   host: stitch -> ordered FASTA emission
 
 Output is byte-identical to the NumPy oracle (tests/test_e2e.py): the device
@@ -38,6 +39,7 @@ class RunStats:
     windows_ok: int = 0
     windows_failed_cov: int = 0
     k2_retries: int = 0
+    k2_attempts: int = 0
     fragments: int = 0
     batches: int = 0
 
@@ -226,23 +228,71 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             len_all = np.asarray(jnp.concatenate([o.length for _, o in pending]))
             bases_all = np.asarray(jnp.concatenate([o.bases for _, o in pending]))
         off = 0
+        retries: List[Tuple[int, int]] = []
         for chunk, out in pending:
             B = out.ok.shape[0]
             for i, (slot, wi) in enumerate(chunk):
                 if ok_all[off + i]:
                     r = bases_all[off + i, :len_all[off + i]].astype(np.uint8)
+                    stats.windows_ok += 1
+                    winners[slot][wi] = r
                 else:
-                    # adaptive k2 retry (host sparse pass, ALGORITHM §6);
-                    # strings reconstructed lazily from the row table
-                    strings = reads_rows[slot].window_strings(wi)
-                    plq_w, pbw_w = tables.for_window(wi * cfg.a, rlens[slot])
-                    r = window_consensus(strings, cfg, plq_w, cfg.k2, pbw_w)
-                    if r is not None:
-                        stats.k2_retries += 1
+                    retries.append((slot, wi))
+            off += B
+
+        stats.k2_attempts = len(retries)
+        # ---- adaptive k2 retry pass (ALGORITHM §6) ----
+        # 'device': batched sparse step (ops/sparse_k2.py); 'host': per-
+        # window sparse oracle.  Both are bit-identical; 'auto' picks the
+        # device when the batch amortizes a dispatch.
+        use_dev = (cfg.k2_impl == "device"
+                   or (cfg.k2_impl == "auto" and len(retries) >= 16)
+                   ) and cfg.w >= cfg.k2
+        if retries and use_dev:
+            from daccord_tpu.ops.sparse_k2 import consensus_step_sparse
+            from daccord_tpu.pipeline.batcher import pack_windows
+            K2_BS = 64
+            groups: dict = {}
+            for (slot, wi) in retries:
+                tb = tables.table_of(wi * cfg.a, rlens[slot])
+                groups.setdefault(tb, []).append((slot, wi))
+            with log.phase("k2_device"):
+                for tb in sorted(groups):
+                    plq = tables.plq[tb]
+                    ps2 = np.ascontiguousarray(plq[:cfg.wprime, 0], np.int32)
+                    pk2 = np.ascontiguousarray(
+                        plq[:cfg.wprime, cfg.w - cfg.k2], np.int32)
+                    jobs = groups[tb]
+                    for o2 in range(0, len(jobs), K2_BS):
+                        ck = jobs[o2:o2 + K2_BS]
+                        piles = [reads_rows[s].window_strings(wj)
+                                 for (s, wj) in ck]
+                        S2, sl2, ns2 = pack_windows(piles, cfg, K2_BS,
+                                                    cap_d1)
+                        o = consensus_step_sparse(
+                            S2, sl2, ns2, ps2, pk2, tables.pbw[tb],
+                            k=cfg.k2, w=cfg.w, path_delta=cfg.path_delta,
+                            e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
+                        okk = np.asarray(o.ok)
+                        ll = np.asarray(o.length)
+                        bb = np.asarray(o.bases)
+                        for i, (s, wj) in enumerate(ck):
+                            if okk[i]:
+                                winners[s][wj] = bb[i, :ll[i]].astype(np.uint8)
+                                stats.k2_retries += 1
+                                stats.windows_ok += 1
+                            else:
+                                winners[s][wj] = None
+        elif retries:
+            for (slot, wi) in retries:
+                # strings reconstructed lazily from the row table
+                strings = reads_rows[slot].window_strings(wi)
+                plq_w, pbw_w = tables.for_window(wi * cfg.a, rlens[slot])
+                r = window_consensus(strings, cfg, plq_w, cfg.k2, pbw_w)
                 if r is not None:
+                    stats.k2_retries += 1
                     stats.windows_ok += 1
                 winners[slot][wi] = r
-            off += B
 
     # ---- stitch + ordered emission (ALGORITHM §5, §8) ----
     from daccord_tpu.pipeline.stitcher import stitch_many

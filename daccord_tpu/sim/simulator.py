@@ -38,6 +38,8 @@ class SimConfig:
     min_overlap: int = 500
     tspace: int = 100
     circular: bool = False  # linear genome only (pinned)
+    repeat_density: float = 0.0  # tandem repeats planted per genome base
+    #                              (repeat-heavy configs; stresses k2 retry)
 
 
 @dataclasses.dataclass
@@ -137,6 +139,13 @@ def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int):
 def simulate(cfg: SimConfig) -> SimDataset:
     rng = np.random.Generator(np.random.PCG64(cfg.seed))
     genome = rng.integers(0, 4, size=cfg.genome_len).astype(np.uint8)
+    if cfg.repeat_density > 0:
+        # plant tandem repeats (motif duplicated in place): the window shape
+        # that defeats k=8 DBG path search and triggers the k2 retry
+        for _ in range(int(cfg.genome_len * cfg.repeat_density)):
+            mlen = int(rng.integers(8, 15))
+            p = int(rng.integers(0, cfg.genome_len - 2 * mlen))
+            genome[p + mlen:p + 2 * mlen] = genome[p:p + mlen]
     lmean = (cfg.read_len[0] + cfg.read_len[1]) / 2
     nreads = max(2, int(round(cfg.genome_len * cfg.coverage / lmean)))
     reads = [_make_read(rng, genome, cfg) for _ in range(nreads)]

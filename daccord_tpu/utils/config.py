@@ -33,6 +33,10 @@ class DaccordConfig:
 
     # --- pinned extensions (ALGORITHM.md) ---
     k2: int = 12               # adaptive-k retry size (SURVEY §2.1)
+    k2_impl: str = "auto"      # adaptive-k retry pass: 'host' (sparse
+                               # oracle), 'device' (ops/sparse_k2.py,
+                               # bit-equal), 'auto' = device when the batch
+                               # is large enough to amortize dispatch
     path_delta: int = 4        # path-length slack around w-k (ALGORITHM §4)
     eprof_sample: int = 32     # reads sampled for error-profile estimation
     pos_weight: bool = True    # positional (k+1)-mer edge weighting (§4,
