@@ -504,11 +504,12 @@ def default_dp_impl() -> str:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl",
-                                    "pos_bin"))
+                                    "pos_bin", "tp_sharding"))
 def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                         plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
                         pbw, *, k: int, w: int, path_delta: int,
-                        e_q6: int, dp_impl: str, pos_bin: int) -> ConsensusOut:
+                        e_q6: int, dp_impl: str, pos_bin: int,
+                        tp_sharding=None) -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
     S:    uint8 [B, D1, W']  pile strings (row 0 = A substring), PAD beyond slen
@@ -525,8 +526,11 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     t_lo = max(0, t_exp - path_delta)
     t_hi = t_exp + path_delta
     g_step = pos_bin if pbw is not None else max(t_hi, 1)
-    if dp_impl.startswith("cyc") and not (t_lo >= 1 and k % 2 == 0):
-        dp_impl = "scan"                      # cyc preconditions unmet
+    if dp_impl.startswith("cyc") and not (t_lo >= 1 and k % 2 == 0
+                                          and tp_sharding is None):
+        dp_impl = "scan"       # cyc preconditions unmet (or TP requested:
+        #                        the pallas kernel is per-device; TP
+        #                        partitions the scan path via GSPMD)
     use_cyc = dp_impl.startswith("cyc")
     if use_cyc and pbw is None:
         # cyc phase tables store packed keys count*4 + 3 in uint16; the max
@@ -538,6 +542,11 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     src, snk, edges = _build_tables(
         S, slen, nstr, plq_src, plq_snk, pbw, k=k, t_hi=t_hi,
         pos_bin=pos_bin, edges_layout="phases" if use_cyc else "natural")
+    if tp_sharding is not None:
+        # TP (SURVEY §2.4): pin the (k+1)-mer universe axis to the `model`
+        # mesh axis; GSPMD propagates the split through the DP tables and
+        # inserts the collectives for the per-step digit relabel
+        edges = jax.lax.with_sharding_constraint(edges, tp_sharding)
     (bp_tag, bps), ends, endok = _dp(edges, src, snk, k=k, t_lo=t_lo,
                                      t_hi=t_hi, g_step=g_step,
                                      dp_impl=dp_impl)
@@ -562,7 +571,8 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
 def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
                    w: int, path_delta: int, e_q6: int = 1_000_000,
-                   dp_impl: str = "auto", pos_bin: int = 8) -> ConsensusOut:
+                   dp_impl: str = "auto", pos_bin: int = 8,
+                   tp_sharding=None) -> ConsensusOut:
     """One batched consensus pass at k-mer size k (see _consensus_step_jit).
 
     dp_impl: 'auto' resolves per-backend (default_dp_impl); explicit values
@@ -575,4 +585,5 @@ def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
         dp_impl = default_dp_impl()
     return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, pbw, k=k, w=w,
                                path_delta=path_delta, e_q6=e_q6,
-                               dp_impl=dp_impl, pos_bin=pos_bin)
+                               dp_impl=dp_impl, pos_bin=pos_bin,
+                               tp_sharding=tp_sharding)

@@ -39,10 +39,17 @@ def manifest_path(outdir: str, part: int) -> str:
     return os.path.join(outdir, f"part_{part:05d}.manifest.json")
 
 
-def plan(db_path: str, las_path, nparts: int) -> List[Tuple[int, int]]:
+def plan(db_path: str, las_path, nparts: int,
+         I: Optional[Tuple[int, int]] = None) -> List[Tuple[int, int]]:
+    """Work-balanced read intervals; restricted to the -I interval if any
+    (parts partition the requested range, composing -I with -J/parts)."""
     db = DazzlerDB.open(db_path)
     las = open_piles(las_path)
-    return plan_intervals(work_per_read(db, las), nparts)
+    work = work_per_read(db, las)
+    lo0, hi0 = ((0, db.nreads) if I is None
+                else (max(0, I[0]), min(I[1], db.nreads)))
+    iv = plan_intervals(work[lo0:hi0], nparts)
+    return [(a + lo0, b + lo0) for (a, b) in iv]
 
 
 def _fasta_sha(path: str) -> str:
@@ -75,7 +82,7 @@ def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
     """Correct one planned read range; atomic part file + manifest entry."""
     os.makedirs(outdir, exist_ok=True)
     if intervals is None:
-        intervals = plan(db_path, las_path, nparts)
+        intervals = plan(db_path, las_path, nparts, I=cfg.I)
     lo, hi = intervals[part]
     if part_done(outdir, part, (lo, hi)):
         return json.load(open(manifest_path(outdir, part)))
@@ -109,8 +116,9 @@ def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
 
 
 def missing_parts(db_path: str, las_path: str, nparts: int,
-                  outdir: str) -> List[int]:
-    intervals = plan(db_path, las_path, nparts)
+                  outdir: str,
+                  I: Optional[Tuple[int, int]] = None) -> List[int]:
+    intervals = plan(db_path, las_path, nparts, I=I)
     return [p for p in range(nparts)
             if not part_done(outdir, p, intervals[p])]
 

@@ -44,13 +44,19 @@ def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
     shard_b1 = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     out_shardings = (shard_b1, shard_b1, shard_b2, shard_b1)
+    # TP (SURVEY §2.4): with a model axis, the (k+1)-mer edge-table axis is
+    # pinned to it; GSPMD partitions the DBG tensors and inserts the
+    # collectives (asserted by tests/test_parallel.py)
+    tp = (NamedSharding(mesh, P("data", None, "model"))
+          if mesh.shape.get("model", 1) > 1 else None)
 
     from daccord_tpu.pipeline.batcher import e_q6_of
 
     def fn(S, slen, nstr, plq_src, plq_snk, pbw):
         return tuple(consensus_step(S, slen, nstr, plq_src, plq_snk, pbw,
                                     k=k, w=cfg.w, path_delta=cfg.path_delta,
-                                    e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin))
+                                    e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin,
+                                    tp_sharding=tp))
 
     jit_with = jax.jit(fn, in_shardings=(shard_b3, shard_b2, shard_b1,
                                          repl, repl, repl),

@@ -32,6 +32,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--part", type=int, default=None)
     p.add_argument("--jax-dist", action="store_true",
                    help="derive part/nparts from jax.distributed")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(default: from the pod/cluster environment)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--use-mesh", action="store_true",
                    help="shard window batches over this process's devices")
     p.add_argument("--merge", metavar="DEST", default=None,
@@ -47,7 +52,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.jax_dist:
         import jax
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()   # pod/cluster auto-detection
         part = jax.process_index()
         nparts = jax.process_count()
     else:
@@ -55,7 +66,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     las = args.las if len(args.las) > 1 else args.las[0]
     if args.merge is not None:
-        missing = missing_parts(args.db, las, nparts, args.outdir)
+        missing = missing_parts(args.db, las, nparts, args.outdir, I=cfg.I)
         if missing:
             print(f"[daccord-dist] cannot merge: missing parts {missing}",
                   file=sys.stderr)

@@ -121,3 +121,116 @@ def test_mesh_sharded_step_runs_on_8_devices():
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def _tp_batch(cfg, B=8, seed=7):
+    from daccord_tpu.oracle.consensus import build_pbw, build_plq
+    from daccord_tpu.oracle.eprof import ErrorProfile
+    from daccord_tpu.pipeline.batcher import pack_windows
+    rng = np.random.default_rng(seed)
+    piles = []
+    for _ in range(B):
+        truth = rng.integers(0, 4, size=cfg.w).astype(np.uint8)
+        strings = [truth.copy()]
+        for _ in range(8):
+            s = [b for b in truth if rng.random() > 0.04]
+            strings.append(np.array(s[:cfg.wprime], dtype=np.uint8))
+        piles.append(strings)
+    S, slen, nstr = pack_windows(piles, cfg, batch=B)
+    prof = ErrorProfile(0.03, 0.08, 0.04)
+    plq = build_plq(prof, cfg)
+    ps = np.ascontiguousarray(plq[:cfg.wprime, 0], np.int32)
+    pk = np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k], np.int32)
+    return S, slen, nstr, ps, pk, build_pbw(prof, cfg)
+
+
+def test_tp_model_axis_partitions_and_matches():
+    """TP (SURVEY §2.4): with model=2 the (k+1)-mer universe axis is REALLY
+    partitioned — the compiled module contains collectives and per-device
+    edge-table shards are half-sized — and the output equals the
+    single-device step bit-exactly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from daccord_tpu.ops.consensus_step import consensus_step
+    from daccord_tpu.parallel.mesh import make_mesh, sharded_consensus
+
+    cfg = DaccordConfig(d=8)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model=2)
+    args = _tp_batch(cfg)
+    fn = sharded_consensus(mesh, cfg, cfg.k)
+    out_tp = fn(*args)
+    ref = consensus_step(*args, k=cfg.k, w=cfg.w, path_delta=cfg.path_delta,
+                         pos_bin=cfg.pos_bin, dp_impl="scan")
+    for got, want in zip(out_tp, tuple(ref)):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # compiled-HLO evidence: the module communicates across the model axis
+    from daccord_tpu.pipeline.batcher import e_q6_of
+    tp = NamedSharding(mesh, P("data", None, "model"))
+    jf = jax.jit(
+        lambda S, sl, ns, a, b, pw: tuple(consensus_step(
+            S, sl, ns, a, b, pw, k=cfg.k, w=cfg.w,
+            path_delta=cfg.path_delta, e_q6=e_q6_of(cfg),
+            pos_bin=cfg.pos_bin, dp_impl="scan", tp_sharding=tp)),
+        in_shardings=(NamedSharding(mesh, P("data", None, None)),
+                      NamedSharding(mesh, P("data", None)),
+                      NamedSharding(mesh, P("data")),
+                      NamedSharding(mesh, P()), NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P())))
+    txt = jf.lower(*args).compile().as_text()
+    # the DP-step digit relabel across the split edge-table axis lowers to
+    # collective-permutes over model-axis pairs (replica_groups [4,2]<=[8]);
+    # pure data-parallel never emits collective-permute (control below)
+    assert "collective-permute" in txt, \
+        "no collective-permute: model axis not partitioned"
+    assert "replica_groups=[4,2]<=[8]" in txt
+
+    # negative control: pure data-parallel (model=1, no TP constraint)
+    # compiles WITHOUT collectives — so the ones above are the model axis
+    mesh1 = make_mesh(8, model=1)
+    jf1 = jax.jit(
+        lambda S, sl, ns, a, b, pw: tuple(consensus_step(
+            S, sl, ns, a, b, pw, k=cfg.k, w=cfg.w,
+            path_delta=cfg.path_delta, e_q6=e_q6_of(cfg),
+            pos_bin=cfg.pos_bin, dp_impl="scan")),
+        in_shardings=(NamedSharding(mesh1, P("data", None, None)),
+                      NamedSharding(mesh1, P("data", None)),
+                      NamedSharding(mesh1, P("data")),
+                      NamedSharding(mesh1, P()), NamedSharding(mesh1, P()),
+                      NamedSharding(mesh1, P())))
+    txt1 = jf1.lower(*args).compile().as_text()
+    assert "collective-permute" not in txt1
+
+
+def test_jax_distributed_two_process_smoke(dataset, tmp_path):
+    """2-process CPU jax.distributed run of daccord-dist --jax-dist produces
+    parts that merge to the single-run output (SURVEY §4 item 4b)."""
+    import socket
+    import subprocess
+    import sys
+
+    root, db, las = dataset
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    outdir = str(tmp_path / "jd")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "daccord_tpu.tools.daccord_dist",
+         las, db, "--outdir", outdir, "--jax-dist",
+         "--coordinator", f"localhost:{port}",
+         "--num-processes", "2", "--process-id", str(i), "-I", "0,8"],
+        env=env) for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=600) == 0
+    dest = str(tmp_path / "jd.fasta")
+    assert merge_parts(outdir, 2, dest) > 0
+    single, _ = run_oracle(db, las, DaccordConfig(I=(0, 8)))
+    from daccord_tpu.formats.fasta import read_fasta
+    assert list(read_fasta(dest)) == single
