@@ -155,3 +155,90 @@ def test_daccord_dist_merge_refuses_missing(dataset, tmp_path):
     outdir = str(tmp_path / "parts0")
     assert main([las_path, db_path, "--outdir", outdir, "--nparts", "2",
                  "--merge", str(tmp_path / "x.fa")]) == 1
+
+
+def test_lasfilteralignments_windowed_drops_repeat_induced(tmp_path):
+    """The windowed two-pass filter (SURVEY §3.3) drops a repeat-induced
+    spurious alignment (good repeat core, terrible flanks) that a GLOBAL
+    mean+sigma cut keeps."""
+    import numpy as np
+    from daccord_tpu.formats.las import Overlap, write_las
+    from daccord_tpu.tools.lasfilteralignments import (
+        block_tables, global_rates, main,
+    )
+
+    tspace = 100
+    rng = np.random.default_rng(0)
+
+    def mk(aread, bread, blocks):
+        nb = len(blocks)
+        trace = np.stack([np.asarray(blocks, np.int64),
+                          np.full(nb, tspace, np.int64)], axis=1)
+        return Overlap(aread=aread, bread=bread, flags=0, abpos=0,
+                       aepos=nb * tspace, bbpos=0, bepos=nb * tspace,
+                       diffs=int(sum(blocks)), trace=trace)
+
+    ovls = []
+    # 30 true overlaps with heterogeneous base quality (3%..12%)
+    for i in range(30):
+        base = 3 + (9 * i) // 29
+        blocks = base + rng.integers(-1, 2, size=30)
+        ovls.append(mk(0, 1 + i, np.maximum(blocks, 1)))
+    # spurious: repeat core at 4% with 3 flank blocks at 60%
+    spur_blocks = [60, 60, 60] + [4] * 27
+    ovls.append(mk(0, 99, spur_blocks))
+    src = str(tmp_path / "in.las")
+    write_las(src, tspace, ovls)
+
+    # the global mean+3*std cut would KEEP the spurious alignment
+    from daccord_tpu.formats.las import LasFile
+    las = LasFile.open(src)
+    g = global_rates(*block_tables(las))
+    gcut = g.mean() + 3.0 * g.std()
+    assert g[-1] <= gcut, "setup: global cut must keep the spurious record"
+
+    out = str(tmp_path / "out.las")
+    assert main([out, src]) == 0
+    fl = LasFile.open(out)
+    kept_breads = {o.bread for o in fl}
+    assert 99 not in kept_breads, "windowed filter must drop the spurious"
+    assert len(kept_breads) >= 27, "true overlaps overwhelmingly kept"
+
+
+def test_filterchains_chain_flags(tmp_path):
+    """Chain-flag semantics: keep ALL members of the BEST-flagged chain,
+    even when another chain has a larger span; spanning rule without BEST."""
+    import numpy as np
+    from daccord_tpu.formats.las import LasFile, Overlap, write_las
+    from daccord_tpu.tools.filterchains import (
+        CHAIN_BEST, CHAIN_NEXT, CHAIN_START, main,
+    )
+
+    def mk(aread, bread, abpos, aepos, flags):
+        nb = max(1, (aepos - abpos) // 100)
+        trace = np.stack([np.full(nb, 2, np.int64),
+                          np.full(nb, (aepos - abpos) // nb, np.int64)], 1)
+        return Overlap(aread=aread, bread=bread, flags=flags, abpos=abpos,
+                       aepos=aepos, bbpos=0, bepos=aepos - abpos,
+                       diffs=2 * nb, trace=trace)
+
+    ovls = [
+        # pair (0,1): BEST chain of two records (span 900) vs a longer
+        # unflagged chain (span 1000) -> BEST wins, both members kept
+        mk(0, 1, 0, 500, CHAIN_START | CHAIN_BEST),
+        mk(0, 1, 500, 900, CHAIN_NEXT),
+        mk(0, 1, 0, 1000, CHAIN_START),
+        # pair (0, 2): no BEST -> largest total span chain (two records,
+        # 300+300) beats the single 500
+        mk(0, 2, 0, 300, CHAIN_START),
+        mk(0, 2, 300, 600, CHAIN_NEXT),
+        mk(0, 2, 0, 500, CHAIN_START),
+    ]
+    src = str(tmp_path / "c_in.las")
+    write_las(src, 100, ovls)
+    out = str(tmp_path / "c_out.las")
+    assert main([out, src]) == 0
+    fl = LasFile.open(out)
+    got = [(o.aread, o.bread, o.abpos, o.aepos) for o in fl]
+    assert got == [(0, 1, 0, 500), (0, 1, 500, 900),
+                   (0, 2, 0, 300), (0, 2, 300, 600)]
