@@ -153,7 +153,8 @@ def batch_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
         LB = B.shape[1]
         PX = X64.shape[1]
         out = np.zeros((N, PX), dtype=np.int64)
-        nt = nthreads or min(4, _os.cpu_count() or 1)
+        nt = nthreads or int(_os.environ.get(
+            "DACCORD_NATIVE_THREADS", 0)) or min(4, _os.cpu_count() or 1)
         lib.bpos_at_batch(
             A.ctypes.data_as(ctypes.c_void_p),
             la64.ctypes.data_as(ctypes.c_void_p),
@@ -243,7 +244,8 @@ def batch_ops_count(A: np.ndarray, la: np.ndarray, B: np.ndarray,
         N, LA = A.shape
         LB = B.shape[1]
         out = np.zeros(4, dtype=np.int64)
-        nt = nthreads or min(4, _os.cpu_count() or 1)
+        nt = nthreads or int(_os.environ.get(
+            "DACCORD_NATIVE_THREADS", 0)) or min(4, _os.cpu_count() or 1)
         lib.ops_count_batch(
             A.ctypes.data_as(ctypes.c_void_p),
             la64.ctypes.data_as(ctypes.c_void_p),
@@ -254,6 +256,40 @@ def batch_ops_count(A: np.ndarray, la: np.ndarray, B: np.ndarray,
         return out
     _, _, ops = batch_realign(A, la, B, lb, want_ops=True)
     return ops.sum(axis=0)
+
+
+def batch_ops_count_rows(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+                         lb: np.ndarray, nthreads: int = 0) -> np.ndarray:
+    """Per-problem pinned-traceback op counts [N, 4] (match, mismatch, U, L).
+
+    Native C++ kernel (realign.cpp ops_count_rows) when available; numpy
+    fallback = batch_realign's per-problem counts (identical pinned
+    preference D > U > L).  Feeds the positional error profile (ALGORITHM
+    §7 v2: rows binned by read position by the caller)."""
+    from daccord_tpu.native.build import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        import os as _os
+        A = np.ascontiguousarray(A, dtype=np.uint8)
+        B = np.ascontiguousarray(B, dtype=np.uint8)
+        la64 = np.ascontiguousarray(la, dtype=np.int64)
+        lb64 = np.ascontiguousarray(lb, dtype=np.int64)
+        N, LA = A.shape
+        LB = B.shape[1]
+        out = np.zeros((N, 4), dtype=np.int64)
+        nt = nthreads or int(_os.environ.get(
+            "DACCORD_NATIVE_THREADS", 0)) or min(4, _os.cpu_count() or 1)
+        lib.ops_count_rows(
+            A.ctypes.data_as(ctypes.c_void_p),
+            la64.ctypes.data_as(ctypes.c_void_p),
+            B.ctypes.data_as(ctypes.c_void_p),
+            lb64.ctypes.data_as(ctypes.c_void_p),
+            np.int64(N), np.int64(LA), np.int64(LB),
+            out.ctypes.data_as(ctypes.c_void_p), np.int64(nt))
+        return out
+    _, _, ops = batch_realign(A, la, B, lb, want_ops=True)
+    return ops
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,8 @@ def get_lib():
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.ops_count_batch.restype = None
+            lib.ops_count_rows.argtypes = lib.ops_count_batch.argtypes
+            lib.ops_count_rows.restype = None
             _lib = lib
         except Exception:
             _lib = None

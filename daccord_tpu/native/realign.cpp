@@ -156,6 +156,29 @@ void ops_count_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
     }
 }
 
+// Per-problem traceback op counts -> out[N][4] (match, mismatch, U, L);
+// threaded over problems (positional error-profile estimation, ALGORITHM
+// §7 v2: the caller bins rows by read position).
+void ops_count_rows(const uint8_t* A, const int64_t* la, const uint8_t* B,
+                    const int64_t* lb, int64_t N, int64_t LA, int64_t LB,
+                    int64_t* out, int64_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    std::memset(out, 0, N * 4 * sizeof(int64_t));
+    auto worker = [&](int64_t t) {
+        std::vector<int32_t> scratch;
+        for (int64_t n = t; n < N; n += nthreads)
+            one_ops(A + n * LA, la[n], B + n * LB, lb[n], out + n * 4,
+                    scratch);
+    };
+    if (nthreads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(worker, t);
+        for (auto& th : ts) th.join();
+    }
+}
+
 void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
                    const int64_t* lb, const int64_t* X, int64_t PX,
                    int64_t N, int64_t LA, int64_t LB, int64_t* out,

@@ -110,7 +110,7 @@ def estimate_error_profile_v2(db: DazzlerDB, las: LasFile,
     decile (blocks are <= tspace bases, far shorter than reads, so the
     per-block decile is the pinned positional resolution; ALGORITHM §7 v2).
     Empty bins fall back to the global (all-bin) rates."""
-    from daccord_tpu.align.editdp import batch_realign
+    from daccord_tpu.align.editdp import batch_ops_count_rows
     from daccord_tpu.pipeline.windows import ReadCache, pile_block_batch
 
     cache = ReadCache(db)
@@ -125,7 +125,7 @@ def estimate_error_profile_v2(db: DazzlerDB, las: LasFile,
                                                       las.tspace)
         if len(la) == 0:
             continue
-        _, _, ops = batch_realign(Abuf, la, Bbuf, lb, want_ops=True)
+        ops = batch_ops_count_rows(Abuf, la, Bbuf, lb)
         astart = np.array([ow[1] for ow in owners], dtype=np.int64)
         dec = np.minimum(EPROF_BINS - 1,
                          EPROF_BINS * (astart + la // 2) // len(A))

@@ -95,6 +95,31 @@ def _front_half_device(db, las, cfg, read_ids):
     return [extract_rows(A, skel, cfg) for (A, pile, skel, prep) in entries]
 
 
+_PP: dict = {}
+
+
+def _pp_init(db_path, las_path, cfg):
+    """Forked front-half worker: own mmap handles, no jax import."""
+    os.environ["DACCORD_NATIVE_THREADS"] = "1"   # workers are the threads
+    _PP["db"] = DazzlerDB.open(db_path)
+    las = open_piles(las_path)
+    las.build_index()
+    _PP["las"] = las
+    _PP["cfg"] = cfg
+    _PP["cache"] = ReadCache(_PP["db"])
+
+
+def _pp_front(slot_aread):
+    from daccord_tpu.pipeline.rows import extract_rows
+    slot, aread = slot_aread
+    db, las, cfg = _PP["db"], _PP["las"], _PP["cfg"]
+    A = db.read_codes(aread)
+    pile = las.pile(aread)
+    realigned, _ = realign_pile(A, pile, _PP["cache"], las.tspace,
+                                w=cfg.w, a=cfg.a)
+    return slot, extract_rows(A, realigned, cfg)
+
+
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             profile=None,
             use_mesh: Optional[bool] = None
@@ -170,17 +195,28 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     else:
         _cstep = _single_step
 
-    # phase A: front-half. Default single worker: the row-table front half
-    # is GIL-bound python around GIL-releasing C++ DP calls, and threads
-    # measured strictly slower (0.7s serial vs 1.3s at 4 workers on the
-    # bench dataset); -t opts into workers for datasets where the C++ DP
-    # share dominates.
+    # phase A: front-half.  Default single worker (serial); -t N>1 fans the
+    # per-read row-table build over N worker PROCESSES — the front half is
+    # GIL-bound Python around the C++ DP, so threads don't scale (measured
+    # strictly slower), but forked processes do: each worker opens its own
+    # mmap handles and ships back the pure-numpy ReadRows (SURVEY §3.1
+    # thread-pool region; ~100KB/read of IPC).
     nworkers = cfg.t if cfg.t > 0 else 1
     with log.phase("front_half"):
         if cfg.realign_device:
             reads_rows = _front_half_device(db, las, cfg, read_ids)
+        elif nworkers > 1:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            with cf.ProcessPoolExecutor(
+                    max_workers=nworkers, mp_context=ctx,
+                    initializer=_pp_init,
+                    initargs=(db_path, las_path, cfg)) as ex:
+                results = list(ex.map(_pp_front, enumerate(read_ids),
+                                      chunksize=8))
+            reads_rows = [rr for _, rr in sorted(results)]
         else:
-            with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
+            with cf.ThreadPoolExecutor(max_workers=1) as ex:
                 results = list(ex.map(front_half, enumerate(read_ids)))
             reads_rows = [rr for _, rr in sorted(results)]
         rpool = RowPool(reads_rows)

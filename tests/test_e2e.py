@@ -55,3 +55,14 @@ def test_device_realign_pipeline_equals_oracle(dataset):
     oracle_recs, _ = run_oracle(db_path, las_path, cfg.replace(realign_device=False))
     tpu_recs, _ = run_tpu(db_path, las_path, cfg)
     assert tpu_recs == oracle_recs
+
+
+def test_process_pool_front_half_equals_serial(dataset):
+    """-t N>1 fans the front half over worker processes; output identical."""
+    from daccord_tpu.pipeline.runner import run_tpu
+    _, db, las = dataset[0], dataset[1], dataset[2]
+    cfg = DaccordConfig(I=(0, 6))
+    r1, s1 = run_tpu(db, las, cfg, use_mesh=False)
+    r2, s2 = run_tpu(db, las, cfg.replace(t=4), use_mesh=False)
+    assert r1 == r2
+    assert s1.windows_ok == s2.windows_ok
