@@ -116,9 +116,13 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     kmask = kvalid.reshape(B, D1 * P1)
     khi = _onehot(kc_flat >> k, k, jnp.float32)          # [B,Pf,2^k]
     klo = _onehot(kc_flat & ((1 << k) - 1), k, jnp.float32)
-    wsrc = (jnp.broadcast_to(plq_src[None, None, :P1], (B, D1, P1))
+    # plq columns are shared [W'] or PER-WINDOW [B, W'] (positional-eprof
+    # table groups mixed in one batch, ALGORITHM §7 v2)
+    ps_b = plq_src[None, :P1] if plq_src.ndim == 1 else plq_src[:, :P1]
+    pk_b = plq_snk[None, :P1] if plq_snk.ndim == 1 else plq_snk[:, :P1]
+    wsrc = (jnp.broadcast_to(ps_b[:, None, :], (B, D1, P1))
             .reshape(B, D1 * P1).astype(jnp.float32) * kmask)
-    wsnk = (jnp.broadcast_to(plq_snk[None, None, :P1], (B, D1, P1))
+    wsnk = (jnp.broadcast_to(pk_b[:, None, :], (B, D1, P1))
             .reshape(B, D1 * P1).astype(jnp.float32) * kmask)
     src = jnp.einsum("bph,bpl->bhl", khi * wsrc[:, :, None], klo,
                      preferred_element_type=jnp.float32
@@ -141,8 +145,8 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     else:
         g = pos_bin
         nbp = -(-P2 // g)
-        nbt = min(-(-max(t_hi, 1) // g), pbw.shape[1])
-        assert nbp <= pbw.shape[0], "pbw table smaller than position range"
+        nbt = min(-(-max(t_hi, 1) // g), pbw.shape[-1])
+        assert nbp <= pbw.shape[-2], "pbw table smaller than position range"
         assert 64 * D1 * P2 < 2 ** 24, \
             f"weighted edge bins can exceed 2^24 (D1={D1}, P2={P2})"
         ppad = nbp * g
@@ -158,12 +162,20 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
     def _mix(H):
         """[B, nbp, R, C] f32 counts -> [B, nbt, R, C] int32 step-bin
-        weighted tables (identity when unweighted)."""
+        weighted tables (identity when unweighted).  pbw is shared [NB, NB]
+        or per-window [B, NB, NB]."""
         if pbw is None:
             return H.astype(jnp.int32)
-        pbw_f = pbw[:nbp, :nbt].astype(jnp.float32)
-        W = jnp.einsum("ij,birc->bjrc", pbw_f, H,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        if pbw.ndim == 2:
+            pbw_f = pbw[:nbp, :nbt].astype(jnp.float32)
+            W = jnp.einsum("ij,birc->bjrc", pbw_f, H,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+        else:
+            pbw_f = pbw[:, :nbp, :nbt].astype(jnp.float32)
+            W = jnp.einsum("bij,birc->bjrc", pbw_f, H,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
         return jnp.minimum(W, PBW_CLAMP)
 
     if edges_layout == "natural":

@@ -77,7 +77,7 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     nT = t_hi - t_lo + 1
     M1 = 4 ** (k - 1)
     g_step = pos_bin if pbw is not None else max(t_hi, 1)
-    NBT = (min(-(-max(t_hi, 1) // g_step), pbw.shape[1])
+    NBT = (min(-(-max(t_hi, 1) // g_step), pbw.shape[-1])
            if pbw is not None else 1)
 
     Si = S.astype(jnp.int32)
@@ -96,8 +96,11 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     kf = jnp.where(kvalid, kcodes, BIGC).reshape(B, Nn)
     nodes = _unique_sorted(kf)                            # [B, Nn]
     kidx, _ = _lookup(nodes, kf)                          # invalid -> w=0
-    wsrc = jnp.where(kvalid, plq_src[pos1][None, None, :], 0).reshape(B, Nn)
-    wsnk = jnp.where(kvalid, plq_snk[pos1][None, None, :], 0).reshape(B, Nn)
+    # plq columns shared [W'] or per-window [B, W'] (ALGORITHM §7 v2)
+    ps_b = plq_src[None, :P1] if plq_src.ndim == 1 else plq_src[:, :P1]
+    pk_b = plq_snk[None, :P1] if plq_snk.ndim == 1 else plq_snk[:, :P1]
+    wsrc = jnp.where(kvalid, ps_b[:, None, :], 0).reshape(B, Nn)
+    wsnk = jnp.where(kvalid, pk_b[:, None, :], 0).reshape(B, Nn)
     src = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsrc)
     snk = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsnk)
 
@@ -109,10 +112,15 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         wbins = jnp.zeros((B, Ne, 1), jnp.int32
                           ).at[b_idx, eidx, 0].add(ones)
     else:
-        rows = jnp.where(
-            evalid.reshape(B, Ne)[:, :, None],
-            pbw[jnp.minimum(pos2 // g_step, pbw.shape[0] - 1)][:, :NBT
-                ][None, :, :].repeat(D1, axis=0).reshape(1, Ne, NBT), 0)
+        pbin = jnp.minimum(pos2 // g_step, pbw.shape[-2] - 1)
+        if pbw.ndim == 2:
+            pr_p = pbw[pbin][:, :NBT]                      # [P2, NBT]
+            rows_full = jnp.broadcast_to(pr_p[None, None], (B, D1, P2, NBT))
+        else:                                              # per-window pbw
+            pr_p = pbw[:, pbin, :NBT]                      # [B, P2, NBT]
+            rows_full = jnp.broadcast_to(pr_p[:, None], (B, D1, P2, NBT))
+        rows = jnp.where(evalid.reshape(B, Ne)[:, :, None],
+                         rows_full.reshape(B, Ne, NBT), 0)
         wbins = jnp.zeros((B, Ne, NBT), jnp.int32
                           ).at[b_idx, eidx].add(rows)
         wbins = jnp.minimum(wbins, PBW_CLAMP)
@@ -201,21 +209,30 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     # (before any T=0 source-only candidate; oracle/dbg.py "len(e_u) == 0")
     endok &= evalid.reshape(B, -1).any(axis=1)[:, None]
 
-    # ---- traceback on node codes ----
+    # ---- traceback on node codes (lax.scan: one compiled body for all
+    # steps — an unrolled loop of batched binary searches measured ~150s
+    # of XLA compile at k2 shapes) ----
     Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]
-    v = ends
-    bases_cols = [None] * t_hi
-    for tt in range(t_hi, 0, -1):
+
+    def tb_step(carry, xs):
+        v, bases = carry
+        bp_t, tt = xs                                        # bp_t [B, Nn]
         act = tt <= Ts
         slot, _ = _lookup(nodes, v)
-        prb = bps[tt - 1][b_idx, slot]
+        prb = jnp.take_along_axis(bp_t, slot, axis=1)
         c = 3 - prb.astype(jnp.int32)
-        bases_cols[tt - 1] = jnp.where(act, (v & 3), 0).astype(jnp.uint8)
+        col = jnp.where(act, (v & 3), 0).astype(jnp.uint8)
+        bases = jax.lax.dynamic_update_slice_in_dim(
+            bases, col[:, :, None], tt - 1, axis=2)
         v = jnp.where(act, c * M1 + (v >> 2), v)
-    if t_hi:
-        bases = jnp.stack(bases_cols, axis=-1)               # [B, nT, t_hi]
-    else:
-        bases = jnp.zeros((B, nT, 0), jnp.uint8)
+        return (v, bases), None
+
+    bases0 = jnp.zeros((B, nT, max(t_hi, 1)), jnp.uint8)
+    (v, bases), _ = jax.lax.scan(
+        tb_step, (ends, bases0),
+        (bps[::-1], jnp.arange(t_hi, 0, -1, dtype=jnp.int32)),
+        length=t_hi)
+    bases = bases[:, :, :t_hi]
     cands, lc = _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
     return _score_pick(S, slen, nstr, cands, lc, endok, k=k, w=w,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)

@@ -58,17 +58,26 @@ def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
                                     e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin,
                                     tp_sharding=tp))
 
-    jit_with = jax.jit(fn, in_shardings=(shard_b3, shard_b2, shard_b1,
-                                         repl, repl, repl),
-                       out_shardings=out_shardings)
-    jit_without = jax.jit(functools.partial(fn, pbw=None),
-                          in_shardings=(shard_b3, shard_b2, shard_b1,
-                                        repl, repl),
-                          out_shardings=out_shardings)
+    # plq/pbw tables arrive shared (1D/2D, replicated) or per-window
+    # (2D/3D, data-sharded; positional-eprof groups mixed in a batch)
+    jits: dict = {}
 
     def call(S, slen, nstr, plq_src, plq_snk, pbw=None):
+        key = (plq_src.ndim, None if pbw is None else pbw.ndim)
+        if key not in jits:
+            sh_p = shard_b2 if plq_src.ndim == 2 else repl
+            in_sh = [shard_b3, shard_b2, shard_b1, sh_p, sh_p]
+            if pbw is None:
+                jits[key] = jax.jit(functools.partial(fn, pbw=None),
+                                    in_shardings=tuple(in_sh),
+                                    out_shardings=out_shardings)
+            else:
+                in_sh.append(NamedSharding(mesh, P("data", None, None))
+                             if pbw.ndim == 3 else repl)
+                jits[key] = jax.jit(fn, in_shardings=tuple(in_sh),
+                                    out_shardings=out_shardings)
         if pbw is None:
-            return jit_without(S, slen, nstr, plq_src, plq_snk)
-        return jit_with(S, slen, nstr, plq_src, plq_snk, pbw)
+            return jits[key](S, slen, nstr, plq_src, plq_snk)
+        return jits[key](S, slen, nstr, plq_src, plq_snk, pbw)
 
     return call

@@ -220,16 +220,46 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 results = list(ex.map(front_half, enumerate(read_ids)))
             reads_rows = [rr for _, rr in sorted(results)]
         rpool = RowPool(reads_rows)
-    # phase B: bucket windows + dispatch padded batches (async enqueue);
-    # buckets are keyed (depth, plq-table) so positional-eprof table groups
-    # (ALGORITHM §7 v2) ride the existing shape-menu batching
+    # phase B: bucket windows + dispatch padded batches (async enqueue).
+    # Positional-eprof table groups (ALGORITHM §7 v2) ride INSIDE batches as
+    # per-window plq columns [B, W'] / pbw kernels [B, NB, NB], so batching
+    # stays keyed by depth only (no table-group fragmentation).
     rlens = [int(db.rlen[aread]) for aread in read_ids]
-    plq_cols = []
-    for plq in tables.plq:
-        plq_cols.append((
-            np.ascontiguousarray(plq[:cfg.wprime, 0], dtype=np.int32),
-            np.ascontiguousarray(plq[:cfg.wprime, cfg.w - cfg.k],
-                                 dtype=np.int32)))
+    ntab = len(tables.plq)
+    ps_stack = np.stack([np.ascontiguousarray(p[:cfg.wprime, 0], np.int32)
+                         for p in tables.plq])             # [T, W']
+    pk_stack = np.stack([np.ascontiguousarray(
+        p[:cfg.wprime, cfg.w - cfg.k], np.int32) for p in tables.plq])
+    pbw_stack = (np.stack(tables.pbw) if tables.pbw[0] is not None else None)
+
+    def _tabs_perwin(chunk):
+        """Per-window (plq_src [B,W'], plq_snk, pbw [B,NB,NB]) for a MIXED
+        chunk (remainders of several table groups merged into one batch —
+        the per-window operand form costs ~20% more device time than the
+        shared form, so it is used only for these remainders)."""
+        tbs = np.zeros(BS, np.int64)
+        for i, (slot, wi) in enumerate(chunk):
+            tbs[i] = tables.table_of(wi * cfg.a, rlens[slot])
+        return (np.ascontiguousarray(ps_stack[tbs]),
+                np.ascontiguousarray(pk_stack[tbs]),
+                None if pbw_stack is None
+                else np.ascontiguousarray(pbw_stack[tbs]))
+
+    def _dispatch(chunk, d1, tb):
+        """tb = table index for a uniform chunk, or None for a mixed one."""
+        S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
+                                        cfg, BS, d1)
+        if tb is not None:
+            ps_b, pk_b = ps_stack[tb], pk_stack[tb]
+            pw_b = None if pbw_stack is None else pbw_stack[tb]
+        else:
+            ps_b, pk_b, pw_b = _tabs_perwin(chunk)
+        out = _cstep(S, slen, nstr, ps_b, pk_b, pw_b,
+                     k=cfg.k, w=cfg.w, path_delta=cfg.path_delta,
+                     e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
+        pending.append((chunk, out))
+        stats.batches += 1
+
     with log.phase("dispatch"):
         for slot, rr in enumerate(reads_rows):
             nwin_per_read[slot] = rr.nwin
@@ -239,18 +269,24 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                 d1 = bucket_d1(int(rr.nstr[wi]), cap_d1)
                 tb = tables.table_of(int(wi) * cfg.a, rlens[slot])
                 buckets.setdefault((d1, tb), []).append((slot, int(wi)))
+        # full batches per (depth, table-group) use the cheap shared-table
+        # operand form; leftovers merge ACROSS table groups per depth into
+        # mixed per-window batches (no table-group fragmentation)
+        rest: dict = {}
         for (d1, tb) in sorted(buckets):
             bjobs = buckets[(d1, tb)]
-            plq_src, plq_snk = plq_cols[tb]
+            nfull = len(bjobs) // BS * BS
+            for off in range(0, nfull, BS):
+                _dispatch(bjobs[off:off + BS], d1, tb)
+            rest.setdefault(d1, []).extend(bjobs[nfull:])
+        for d1 in sorted(rest):
+            bjobs = rest[d1]
             for off in range(0, len(bjobs), BS):
                 chunk = bjobs[off:off + BS]
-                S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
-                                                cfg, BS, d1)
-                out = _cstep(S, slen, nstr, plq_src, plq_snk, tables.pbw[tb],
-                             k=cfg.k, w=cfg.w, path_delta=cfg.path_delta,
-                             e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
-                pending.append((chunk, out))
-                stats.batches += 1
+                tbs0 = {tables.table_of(wi * cfg.a, rlens[s])
+                        for (s, wi) in chunk}
+                _dispatch(chunk, d1,
+                          tbs0.pop() if len(tbs0) == 1 else None)
 
     # collect: concatenate every batch's outputs on-device and fetch ONCE —
     # each individual fetch pays a full host<->device round trip (~100ms on
@@ -288,37 +324,40 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             from daccord_tpu.ops.sparse_k2 import consensus_step_sparse
             from daccord_tpu.pipeline.batcher import pack_windows
             K2_BS = 64
-            groups: dict = {}
-            for (slot, wi) in retries:
-                tb = tables.table_of(wi * cfg.a, rlens[slot])
-                groups.setdefault(tb, []).append((slot, wi))
+            pk2_stack = np.stack([np.ascontiguousarray(
+                p[:cfg.wprime, cfg.w - cfg.k2], np.int32)
+                for p in tables.plq])
             with log.phase("k2_device"):
-                for tb in sorted(groups):
-                    plq = tables.plq[tb]
-                    ps2 = np.ascontiguousarray(plq[:cfg.wprime, 0], np.int32)
-                    pk2 = np.ascontiguousarray(
-                        plq[:cfg.wprime, cfg.w - cfg.k2], np.int32)
-                    jobs = groups[tb]
-                    for o2 in range(0, len(jobs), K2_BS):
-                        ck = jobs[o2:o2 + K2_BS]
-                        piles = [reads_rows[s].window_strings(wj)
-                                 for (s, wj) in ck]
-                        S2, sl2, ns2 = pack_windows(piles, cfg, K2_BS,
-                                                    cap_d1)
-                        o = consensus_step_sparse(
-                            S2, sl2, ns2, ps2, pk2, tables.pbw[tb],
-                            k=cfg.k2, w=cfg.w, path_delta=cfg.path_delta,
-                            e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
-                        okk = np.asarray(o.ok)
-                        ll = np.asarray(o.length)
-                        bb = np.asarray(o.bases)
+                for o2 in range(0, len(retries), K2_BS):
+                    ck = retries[o2:o2 + K2_BS]
+                    piles = [reads_rows[s].window_strings(wj)
+                             for (s, wj) in ck]
+                    S2, sl2, ns2 = pack_windows(piles, cfg, K2_BS, cap_d1)
+                    if ntab == 1:
+                        ps2, pk2 = ps_stack[0], pk2_stack[0]
+                        pw2 = None if pbw_stack is None else pbw_stack[0]
+                    else:
+                        tbs = np.zeros(K2_BS, np.int64)
                         for i, (s, wj) in enumerate(ck):
-                            if okk[i]:
-                                winners[s][wj] = bb[i, :ll[i]].astype(np.uint8)
-                                stats.k2_retries += 1
-                                stats.windows_ok += 1
-                            else:
-                                winners[s][wj] = None
+                            tbs[i] = tables.table_of(wj * cfg.a, rlens[s])
+                        ps2 = np.ascontiguousarray(ps_stack[tbs])
+                        pk2 = np.ascontiguousarray(pk2_stack[tbs])
+                        pw2 = (None if pbw_stack is None
+                               else np.ascontiguousarray(pbw_stack[tbs]))
+                    o = consensus_step_sparse(
+                        S2, sl2, ns2, ps2, pk2, pw2,
+                        k=cfg.k2, w=cfg.w, path_delta=cfg.path_delta,
+                        e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin)
+                    okk = np.asarray(o.ok)
+                    ll = np.asarray(o.length)
+                    bb = np.asarray(o.bases)
+                    for i, (s, wj) in enumerate(ck):
+                        if okk[i]:
+                            winners[s][wj] = bb[i, :ll[i]].astype(np.uint8)
+                            stats.k2_retries += 1
+                            stats.windows_ok += 1
+                        else:
+                            winners[s][wj] = None
         elif retries:
             for (slot, wi) in retries:
                 # strings reconstructed lazily from the row table
