@@ -160,20 +160,42 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                .reshape(B, nbp, D1 * g))
     emi_b = emi[..., None].astype(jnp.bfloat16)
 
+    # H dtype: per-(b, n) histogram bins sum at most D1*g 0/1 indicators; when
+    # that bound is <= 256 every count is exactly representable in bf16
+    # (8-bit mantissa), so H can be MATERIALIZED in bf16 — halving the HBM
+    # traffic of the dominant tensors of this stage (the mix einsum then runs
+    # MXU-native bf16 x bf16 -> f32: products pbw*count <= 64*256 = 2^14 are
+    # exact, per-bin sums over nbp <= 2^24 accumulate exactly in f32).
+    # Falls back to f32 for deep piles / the unweighted path (counts up to
+    # D1*P2 exceed 256).
+    hdt = (jnp.bfloat16 if pbw is not None and D1 * pos_bin <= 256
+           else jnp.float32)
+
     def _mix(H):
-        """[B, nbp, R, C] f32 counts -> [B, nbt, R, C] int32 step-bin
+        """[B, nbp, R, C] f32/bf16 counts -> [B, nbt, R, C] int32 step-bin
         weighted tables (identity when unweighted).  pbw is shared [NB, NB]
-        or per-window [B, NB, NB]."""
+        or per-window [B, NB, NB]; Q6 values <= 64 are bf16-exact.
+
+        NOTE (perf): this XLA mix materializes the f32 dot output before the
+        clamp/pack consumer (~2x the stage's HBM traffic); the production
+        cyc path therefore skips it entirely — edges_layout="phases_h" ships
+        the raw H phase tables and the Pallas kernel mixes in-VMEM
+        (pallas_dbg_cyc, bit-identical f32 arithmetic).  This form remains
+        the scan/TP/natural path's mix.  Dot operands are f32: the CPU
+        backend rejects bf16 x bf16 -> f32 dots at dispatch ("Unsupported
+        element type for DotThunk"), and exactness needs f32 anyway when H
+        was materialized f32."""
         if pbw is None:
             return H.astype(jnp.int32)
+        Hf = H.astype(jnp.float32)
         if pbw.ndim == 2:
             pbw_f = pbw[:nbp, :nbt].astype(jnp.float32)
-            W = jnp.einsum("ij,birc->bjrc", pbw_f, H,
+            W = jnp.einsum("ij,birc->bjrc", pbw_f, Hf,
                            preferred_element_type=jnp.float32
                            ).astype(jnp.int32)
         else:
             pbw_f = pbw[:, :nbp, :nbt].astype(jnp.float32)
-            W = jnp.einsum("bij,birc->bjrc", pbw_f, H,
+            W = jnp.einsum("bij,birc->bjrc", pbw_f, Hf,
                            preferred_element_type=jnp.float32
                            ).astype(jnp.int32)
         return jnp.minimum(W, PBW_CLAMP)
@@ -182,11 +204,11 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         ehi = _onehot(eci >> eb, eb, jnp.bfloat16) * emi_b
         elo = _onehot(eci & ((1 << eb) - 1), eb, jnp.bfloat16)
         H = jnp.einsum("bngh,bngl->bnhl", ehi, elo,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(hdt)
         # natural (k+1)-mer counts: e = c*4^k + h*4 + bb; the scan path
         # derives its [B,NBT,4,4,M1] int16 layout from this
         edges = _mix(H).reshape(B, nbt, 4 ** (k + 1))
-    else:                                    # "phases": cyc kernel tables
+    else:                     # "phases"/"phases_h": cyc kernel tables
         from daccord_tpu.ops.pallas_dbg_cyc import phase_digit_seq
         h2 = k // 2
         s = (k + 2) // 2                     # row digits: both one-hot
@@ -207,7 +229,13 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
             ehi = _onehot(row, 2 * s, jnp.bfloat16) * emi_b
             elo = _onehot(col, 2 * (k + 1 - s), jnp.bfloat16)
             H = jnp.einsum("bngh,bngl->bnhl", ehi, elo,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32).astype(hdt)
+            if edges_layout == "phases_h":
+                # raw per-position-bin histograms for the kernel's in-VMEM
+                # mix (requires pbw; cyc_dbg_dp(pbw=...) path)
+                tabs[(k - 1 - j) % h2] = H.reshape(
+                    B, nbp, 16, 4 ** (k - 1 - h2), 4 ** h2)
+                continue
             W = _mix(H)                       # [B, nbt, 4^s, 4^(k+1-s)]
             key = jnp.where(W > 0, (W << 2) + pr, 0).astype(jnp.uint16)
             tabs[(k - 1 - j) % h2] = key.reshape(
@@ -217,7 +245,8 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
 
 def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
-        *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str):
+        *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str,
+        pbw=None):
     """Stage 2: max-plus heaviest-path DP.
 
     edges: per-step-bin edge tables from _build_tables — int32
@@ -235,9 +264,9 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
     if dp_impl.startswith("cyc"):
         from daccord_tpu.ops.pallas_dbg_cyc import cyc_dbg_dp
         assert isinstance(edges, tuple), \
-            "cyc DP needs edges_layout='phases' tables"
+            "cyc DP needs edges_layout='phases'/'phases_h' tables"
         bpp, ends, endok = cyc_dbg_dp(
-            edges, src, snk, k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
+            edges, src, snk, pbw, k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
         return ("cyc", bpp), ends, endok
@@ -551,9 +580,15 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         D1, Wp = S.shape[1], S.shape[2]
         assert D1 * (Wp - k) * 4 + 3 < 2 ** 16, \
             f"cyc packed edge keys can exceed uint16 (D1={D1}, W'={Wp})"
+    if use_cyc:
+        # weighted: ship raw H phase tables; the kernel mixes in-VMEM
+        # (skips the XLA mix's HBM-materialized f32 dot output)
+        layout = "phases_h" if pbw is not None else "phases"
+    else:
+        layout = "natural"
     src, snk, edges = _build_tables(
         S, slen, nstr, plq_src, plq_snk, pbw, k=k, t_hi=t_hi,
-        pos_bin=pos_bin, edges_layout="phases" if use_cyc else "natural")
+        pos_bin=pos_bin, edges_layout=layout)
     if tp_sharding is not None:
         # TP (SURVEY §2.4): pin the (k+1)-mer universe axis to the `model`
         # mesh axis; GSPMD propagates the split through the DP tables and
@@ -561,7 +596,8 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         edges = jax.lax.with_sharding_constraint(edges, tp_sharding)
     (bp_tag, bps), ends, endok = _dp(edges, src, snk, k=k, t_lo=t_lo,
                                      t_hi=t_hi, g_step=g_step,
-                                     dp_impl=dp_impl)
+                                     dp_impl=dp_impl,
+                                     pbw=pbw if use_cyc else None)
     if t_lo == 0:
         # oracle fails a window with no observed (k+1)-mer edges outright,
         # even when a T=0 source-only candidate would be eligible

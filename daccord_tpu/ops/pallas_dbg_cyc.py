@@ -221,13 +221,32 @@ def _transpose(sc, impl: str):
 
 
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
-                transpose_impl: str):
+                nbp: int, transpose_impl: str):
+    """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
+    (XLA-side mix+pack).  nbp > 0: refs[:h] are RAW position-bin histogram
+    phase tables [1, nbp, 16, A, C] bf16/f32 and refs[h] is the pbw block
+    [1, nbp, nbt] i32 (SMEM); the mix + clamp + key-pack runs IN-KERNEL at
+    step-bin boundaries — the XLA mix materializes its f32 dot output to HBM
+    before the pack (measured ~2x this stage's traffic), while here the
+    mixed table for (phase, bin) is computed once in VMEM and reused for
+    every step of the bin that touches the phase.  f32 multiply-add of
+    integer-exact operands (counts <= D1*g, weights <= 64, sums < 2^24), so
+    the packed keys are bit-identical to the XLA path's."""
+    from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     h = k // 2
-    ewp_refs = refs[:h]                      # per-phase [1,NBT,16,A,C] u16
-    eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h:]
+    mix = nbp > 0
+    ewp_refs = refs[:h]
+    if mix:
+        pbw_ref = refs[h]
+        rest = refs[h + 1:]
+    else:
+        rest = refs[h:]
+    eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = pl.cdiv(t_hi, gsz)
+    key_tab = [None] * h                     # per-phase mixed tables (VMEM)
+    key_bin = [None] * h                     # static unroll-time bin tags
 
     sc = score0_ref[0]                       # [R, C] std layout (== natural)
     bp_acc = None
@@ -255,7 +274,22 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # adding a packed table entry (< 2^16) keeps it far below NEG_HALF.
         sc4 = sc << 2
         scv = sc4.reshape(A, 4, Bv, L)
-        ew = ewp_refs[q % h][0, jbin]         # [16, 4^(k-1-h), 4^h] u16
+        ph = q % h
+        if mix:
+            if key_bin[ph] != jbin:          # static: refresh once per bin
+                W = None
+                for i in range(nbp):
+                    scal = pbw_ref[0, i, jbin].astype(jnp.float32)
+                    term = ewp_refs[ph][0, i].astype(jnp.float32) * scal
+                    W = term if W is None else W + term
+                Wi = jnp.minimum(W.astype(jnp.int32), PBW_CLAMP)
+                pr = 3 - (jax.lax.broadcasted_iota(
+                    jnp.int32, Wi.shape, 0) >> 2)
+                key_tab[ph] = jnp.where(Wi > 0, (Wi << 2) + pr, 0)
+                key_bin[ph] = jbin
+            ew = key_tab[ph]                  # [16, 4^(k-1-h), 4^h] i32
+        else:
+            ew = ewp_refs[ph][0, jbin]        # [16, 4^(k-1-h), 4^h] u16
 
         keys = []
         for bb in range(4):
@@ -292,23 +326,26 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "interpret", "transpose_impl"))
-def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray,
+def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                interpret: bool = False, transpose_impl: str = "xlu"):
     """(bpp [B, nG, R, C] u8 2-bit-packed, ends [B, nT] i32 NATURAL,
     endok [B, nT] bool).
 
-    ewps: tuple of h = k//2 uint16 packed-key phase tables
-    [B, NBT, 16, 4^(k-1-h), 4^h] (consensus_step._build_tables
-    edges_layout="phases", or the legacy build_phase_tables pre-permute);
-    DP step tt uses step-bin table min((tt-1)//g_step, NBT-1) of phase
+    ewps: tuple of h = k//2 phase tables.  With pbw=None: uint16 packed-key
+    tables [B, NBT, 16, 4^(k-1-h), 4^h] (consensus_step._build_tables
+    edges_layout="phases", or the legacy build_phase_tables pre-permute).
+    With pbw (int32 [NB, NB] shared or [B, NB, NB] per-window): RAW
+    position-bin histogram tables [B, nbp, 16, 4^(k-1-h), 4^h] bf16/f32
+    (edges_layout="phases_h"); the positional mix + clamp + key-pack then
+    runs in-kernel (see _cyc_kernel), bit-identical to the XLA mix.
+    DP step tt uses step-bin min((tt-1)//g_step, nbt-1) of phase
     (k-tt) % k % h.  src/snk: int32 [B, 4^k].
     """
     assert t_lo >= 1 and k % 2 == 0
     B, M = src.shape
     h = k // 2
     assert len(ewps) == h
-    NBT = ewps[0].shape[1]
     if g_step <= 0:
         g_step = max(t_hi, 1)
     R, C = 4 ** (k - h), 4 ** h
@@ -317,6 +354,31 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray,
     nT = t_hi - t_lo + 1
     assert nT <= 128
 
+    AA, CC = 4 ** (k - 1 - h), 4 ** h
+    if pbw is None:
+        nbp = 0
+        NBT = ewps[0].shape[1]
+        ew_spec = pl.BlockSpec((1, NBT, 16, AA, CC),
+                               lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        extra_in, extra_specs = (), ()
+        nbt = NBT
+    else:
+        nbp = ewps[0].shape[1]
+        nbt = min(-(-t_hi // g_step), pbw.shape[-1])
+        ew_spec = pl.BlockSpec((1, nbp, 16, AA, CC),
+                               lambda b: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        if pbw.ndim == 2:
+            pbw_in = pbw[:nbp, :nbt].astype(jnp.int32)[None]
+            pbw_spec = pl.BlockSpec((1, nbp, nbt), lambda b: (0, 0, 0),
+                                    memory_space=pltpu.SMEM)
+        else:
+            pbw_in = pbw[:, :nbp, :nbt].astype(jnp.int32)
+            pbw_spec = pl.BlockSpec((1, nbp, nbt), lambda b: (b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+        extra_in, extra_specs = (pbw_in,), (pbw_spec,)
+
     eligp = build_elig_phases(snk > 0, k)
     have_src = src.max(axis=1) > 0
     source = jnp.argmax(src, axis=1).astype(jnp.int32)          # first max
@@ -324,19 +386,16 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray,
         jnp.arange(B), source].set(jnp.where(have_src, 0, NEG)
                                    ).reshape(B, R, C)
 
-    ew_spec = pl.BlockSpec((1, NBT, 16, 4 ** (k - 1 - h), 4 ** h),
-                           lambda b: (b, 0, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
-                          g_step=g_step, nbt=NBT,
+                          g_step=g_step, nbt=nbt, nbp=nbp,
                           transpose_impl=transpose_impl),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct((B, nG, R, C), jnp.int32),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
-        in_specs=[ew_spec] * h + [
+        in_specs=[ew_spec] * h + list(extra_specs) + [
             pl.BlockSpec((1, h, R, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
@@ -350,12 +409,13 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray,
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        # block VMEM is ~NBT*2MB ewp + ~1MB rest; with double-buffering and
-        # loop temporaries the scoped need stays well under the chip's VMEM
+        # block VMEM is ~NBT*2MB ewp (or ~nbp*3MB bf16 H) + ~1MB rest; with
+        # double-buffering, the in-kernel mixed tables (h * 1MB) and loop
+        # temporaries the scoped need stays well under the chip's VMEM
         # (v5e: 128MB).  Raise the 16MB default limit.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(*ewps, eligp, score0, jnp.asarray(_natmaps(k)))
+    )(*ewps, *extra_in, eligp, score0, jnp.asarray(_natmaps(k)))
     ends = meta[:, 0, :nT]
     endok = (meta[:, 1, :nT] != 0) & have_src[:, None]
     return bpp, ends, endok
