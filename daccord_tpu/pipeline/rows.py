@@ -161,19 +161,24 @@ class RowPool:
                       if len(reads) else np.zeros(0, np.uint8))
 
 
-def pack_rows_batch(reads: Sequence[ReadRows], pool: RowPool,
+def pack_rows_batch(reads: Sequence[ReadRows], pool: Optional[RowPool],
                     window_refs: Sequence[Tuple[int, int]],
                     cfg: DaccordConfig, batch: int, d1: int
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Materialize (S, slen, nstr) for the windows (read_idx, win_idx) listed.
 
-    One ragged gather over all rows — no per-row Python copies.
+    Ragged gathers, no per-row Python copies.  pool=None gathers from each
+    read's own pool (one gather per distinct read in the chunk — the
+    streaming runner dispatches batches before all reads exist, so there is
+    no global pool); a RowPool does one gather over the whole chunk.
     """
     Wp = cfg.wprime
     S = np.full((batch, d1, Wp), 4, dtype=np.uint8)
     slen = np.zeros((batch, d1), dtype=np.int32)
     nstr = np.zeros((batch,), dtype=np.int32)
+    flatS = S.reshape(-1)
 
+    per_read: dict = {}
     src_l, dst_l, len_l = [], [], []
     for b, (ri, wi) in enumerate(window_refs):
         rr = reads[ri]
@@ -181,15 +186,27 @@ def pack_rows_batch(reads: Sequence[ReadRows], pool: RowPool,
         n = r1 - r0
         nstr[b] = n
         slen[b, :n] = rr.row_len[r0:r1]
-        src_l.append(pool.offs[ri] + rr.row_start[r0:r1])
-        dst_l.append(b * d1 + np.arange(n, dtype=np.int64))
-        len_l.append(rr.row_len[r0:r1].astype(np.int64))
-    if not src_l:
-        return S, slen, nstr
-    src_starts = np.concatenate(src_l)
-    dst_rows = np.concatenate(dst_l)
-    lens = np.concatenate(len_l)
-    reps, within = _ragged_arange(lens)
-    flatS = S.reshape(-1)
-    flatS[dst_rows[reps] * Wp + within] = pool.gpool[src_starts[reps] + within]
+        dst = b * d1 + np.arange(n, dtype=np.int64)
+        if pool is None:
+            s, d, ln = per_read.setdefault(ri, ([], [], []))
+            s.append(rr.row_start[r0:r1])
+            d.append(dst)
+            ln.append(rr.row_len[r0:r1].astype(np.int64))
+        else:
+            src_l.append(pool.offs[ri] + rr.row_start[r0:r1])
+            dst_l.append(dst)
+            len_l.append(rr.row_len[r0:r1].astype(np.int64))
+
+    def _gather(src_parts, dst_parts, len_parts, gpool):
+        src_starts = np.concatenate(src_parts)
+        dst_rows = np.concatenate(dst_parts)
+        lens = np.concatenate(len_parts)
+        reps, within = _ragged_arange(lens)
+        flatS[dst_rows[reps] * Wp + within] = gpool[src_starts[reps] + within]
+
+    if pool is None:
+        for ri, (s, d, ln) in per_read.items():
+            _gather(s, d, ln, reads[ri].pool)
+    elif src_l:
+        _gather(src_l, dst_l, len_l, pool.gpool)
     return S, slen, nstr

@@ -163,7 +163,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     las.build_index()  # shared, build once before threading
     tls = threading.local()
 
-    from daccord_tpu.pipeline.rows import RowPool, extract_rows, pack_rows_batch
+    from daccord_tpu.pipeline.rows import extract_rows, pack_rows_batch
 
     def front_half(slot_aread):
         slot, aread = slot_aread
@@ -195,32 +195,6 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     else:
         _cstep = _single_step
 
-    # phase A: front-half.  Default single worker (serial); -t N>1 fans the
-    # per-read row-table build over N worker PROCESSES — the front half is
-    # GIL-bound Python around the C++ DP, so threads don't scale (measured
-    # strictly slower), but forked processes do: each worker opens its own
-    # mmap handles and ships back the pure-numpy ReadRows (SURVEY §3.1
-    # thread-pool region; ~100KB/read of IPC).
-    nworkers = cfg.t if cfg.t > 0 else 1
-    with log.phase("front_half"):
-        if cfg.realign_device:
-            reads_rows = _front_half_device(db, las, cfg, read_ids)
-        elif nworkers > 1:
-            import multiprocessing as mp
-            ctx = mp.get_context("fork")
-            with cf.ProcessPoolExecutor(
-                    max_workers=nworkers, mp_context=ctx,
-                    initializer=_pp_init,
-                    initargs=(db_path, las_path, cfg)) as ex:
-                results = list(ex.map(_pp_front, enumerate(read_ids),
-                                      chunksize=8))
-            reads_rows = [rr for _, rr in sorted(results)]
-        else:
-            with cf.ThreadPoolExecutor(max_workers=1) as ex:
-                results = list(ex.map(front_half, enumerate(read_ids)))
-            reads_rows = [rr for _, rr in sorted(results)]
-        rpool = RowPool(reads_rows)
-    # phase B: bucket windows + dispatch padded batches (async enqueue).
     # Positional-eprof table groups (ALGORITHM §7 v2) ride INSIDE batches as
     # per-window plq columns [B, W'] / pbw kernels [B, NB, NB], so batching
     # stays keyed by depth only (no table-group fragmentation).
@@ -247,7 +221,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
 
     def _dispatch(chunk, d1, tb):
         """tb = table index for a uniform chunk, or None for a mixed one."""
-        S, slen, nstr = pack_rows_batch(reads_rows, rpool, chunk,
+        S, slen, nstr = pack_rows_batch(reads_rows, None, chunk,
                                         cfg, BS, d1)
         if tb is not None:
             ps_b, pk_b = ps_stack[tb], pk_stack[tb]
@@ -260,25 +234,61 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         pending.append((chunk, out))
         stats.batches += 1
 
-    with log.phase("dispatch"):
-        for slot, rr in enumerate(reads_rows):
-            nwin_per_read[slot] = rr.nwin
-            stats.windows += rr.nwin
-            stats.windows_failed_cov += int(rr.failed.sum())
-            for wi in np.flatnonzero(~rr.failed):
-                d1 = bucket_d1(int(rr.nstr[wi]), cap_d1)
-                tb = tables.table_of(int(wi) * cfg.a, rlens[slot])
-                buckets.setdefault((d1, tb), []).append((slot, int(wi)))
-        # full batches per (depth, table-group) use the cheap shared-table
-        # operand form; leftovers merge ACROSS table groups per depth into
-        # mixed per-window batches (no table-group fragmentation)
+    # ---- streamed front half + dispatch (the PP analog, SURVEY §2.4) ----
+    # Each read's row tables are consumed the moment they exist: full
+    # (depth, table-group) buckets dispatch IMMEDIATELY, so device compute
+    # starts while later reads are still being realigned on host — device
+    # work is the wall-clock bound, the front half hides behind it.  Batch
+    # membership is identical to the two-phase form (windows enter buckets
+    # in read order either way), and per-window results are batch-invariant
+    # (bit-exactness tested), so output bytes are unchanged.
+    # Default single worker (inline); -t N>1 fans the per-read row-table
+    # build over N worker PROCESSES — the front half is GIL-bound Python
+    # around the C++ DP, so threads don't scale (measured strictly slower),
+    # but forked processes do: each worker opens its own mmap handles and
+    # ships back the pure-numpy ReadRows (~100KB/read of IPC); ex.map yields
+    # in submission order, so consumption stays deterministic.
+    nworkers = cfg.t if cfg.t > 0 else 1
+    reads_rows: List = [None] * len(read_ids)
+
+    def _consume(slot, rr):
+        reads_rows[slot] = rr
+        nwin_per_read[slot] = rr.nwin
+        stats.windows += rr.nwin
+        stats.windows_failed_cov += int(rr.failed.sum())
+        for wi in np.flatnonzero(~rr.failed):
+            d1 = bucket_d1(int(rr.nstr[wi]), cap_d1)
+            tb = tables.table_of(int(wi) * cfg.a, rlens[slot])
+            bjobs = buckets.setdefault((d1, tb), [])
+            bjobs.append((slot, int(wi)))
+            if len(bjobs) == BS:
+                _dispatch(bjobs, d1, tb)
+                buckets[(d1, tb)] = []
+
+    with log.phase("front_dispatch"):
+        if cfg.realign_device:
+            for slot, rr in enumerate(_front_half_device(db, las, cfg,
+                                                         read_ids)):
+                _consume(slot, rr)
+        elif nworkers > 1:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            with cf.ProcessPoolExecutor(
+                    max_workers=nworkers, mp_context=ctx,
+                    initializer=_pp_init,
+                    initargs=(db_path, las_path, cfg)) as ex:
+                for slot, rr in ex.map(_pp_front, enumerate(read_ids),
+                                       chunksize=8):
+                    _consume(slot, rr)
+        else:
+            for sa in enumerate(read_ids):
+                _consume(*front_half(sa))
+        # leftovers: merge ACROSS table groups per depth into mixed
+        # per-window batches (no table-group fragmentation); full buckets
+        # above used the cheaper shared-table operand form
         rest: dict = {}
         for (d1, tb) in sorted(buckets):
-            bjobs = buckets[(d1, tb)]
-            nfull = len(bjobs) // BS * BS
-            for off in range(0, nfull, BS):
-                _dispatch(bjobs[off:off + BS], d1, tb)
-            rest.setdefault(d1, []).extend(bjobs[nfull:])
+            rest.setdefault(d1, []).extend(buckets[(d1, tb)])
         for d1 in sorted(rest):
             bjobs = rest[d1]
             for off in range(0, len(bjobs), BS):
