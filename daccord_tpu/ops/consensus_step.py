@@ -246,7 +246,7 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
 def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str,
-        pbw=None):
+        pbw=None, pbw_band: int = -1):
     """Stage 2: max-plus heaviest-path DP.
 
     edges: per-step-bin edge tables from _build_tables — int32
@@ -267,6 +267,7 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
             "cyc DP needs edges_layout='phases'/'phases_h' tables"
         bpp, ends, endok = cyc_dbg_dp(
             edges, src, snk, pbw, k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
+            pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
         return ("cyc", bpp), ends, endok
@@ -545,11 +546,12 @@ def default_dp_impl() -> str:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "path_delta", "e_q6", "dp_impl",
-                                    "pos_bin", "tp_sharding"))
+                                    "pos_bin", "pbw_band", "tp_sharding"))
 def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                         plq_src: jnp.ndarray, plq_snk: jnp.ndarray,
                         pbw, *, k: int, w: int, path_delta: int,
                         e_q6: int, dp_impl: str, pos_bin: int,
+                        pbw_band: int = -1,
                         tp_sharding=None) -> ConsensusOut:
     """One batched consensus pass at k-mer size k.
 
@@ -597,7 +599,8 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     (bp_tag, bps), ends, endok = _dp(edges, src, snk, k=k, t_lo=t_lo,
                                      t_hi=t_hi, g_step=g_step,
                                      dp_impl=dp_impl,
-                                     pbw=pbw if use_cyc else None)
+                                     pbw=pbw if use_cyc else None,
+                                     pbw_band=pbw_band)
     if t_lo == 0:
         # oracle fails a window with no observed (k+1)-mer edges outright,
         # even when a T=0 source-only candidate would be eligible
@@ -631,7 +634,17 @@ def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
     """
     if dp_impl == "auto":
         dp_impl = default_dp_impl()
+    pbw_band = -1
+    if pbw is not None and not isinstance(pbw, jax.core.Tracer):
+        # static band of the positional kernel: pbw[..., i, j] == 0 exactly
+        # outside |i-j| <= band (tridiagonal at realistic rates) lets the
+        # cyc kernel's in-VMEM mix skip the zero terms.  Exact: dropping
+        # exact-zero terms from an integer-exact f32 sum changes nothing.
+        # Traced pbw (mesh/TP path) falls back to the full mix.
+        pb = np.asarray(pbw).reshape(-1, pbw.shape[-2], pbw.shape[-1])
+        ii, jj = np.nonzero(pb.any(axis=0))
+        pbw_band = int(np.abs(ii - jj).max()) if len(ii) else 0
     return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, pbw, k=k, w=w,
                                path_delta=path_delta, e_q6=e_q6,
                                dp_impl=dp_impl, pos_bin=pos_bin,
-                               tp_sharding=tp_sharding)
+                               pbw_band=pbw_band, tp_sharding=tp_sharding)

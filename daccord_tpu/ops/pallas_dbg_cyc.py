@@ -60,6 +60,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -(2 ** 29)
 NEG_HALF = -(2 ** 28)
 NEG_F32 = -(2 ** 23)        # NEG stand-in across the MXU transpose (f32-exact)
+# Mix-path score sentinels (see _cyc_kernel): invalid TABLE entries are
+# pre-biased to EW_INVALID so the max-plus step is a bare add+max (no
+# compare/select per (c, bb)).  The score sentinel must then be small
+# enough that sentinel<<2 + EW_INVALID cannot underflow int32:
+#   scv in {valid >= 0} u {NEG_K<<2 = -2^28};  cand >= -2^29.
+# All invalid cands are <= -2^28 + 2^22 < KEY_T; all valid keys are >= 4.
+NEG_K = -(2 ** 26)
+NEG_HALF_K = -(2 ** 25)
+KEY_T = -(2 ** 27)
+EW_INVALID = -(2 ** 28)
 
 
 def _orders(k: int):
@@ -203,13 +213,14 @@ def _natmaps(k: int):
     return out
 
 
-def _transpose(sc, impl: str):
+def _transpose(sc, impl: str, neg: int = NEG):
     """Exact int32 2D transpose. 'xlu': native; 'mxu': dot_general vs
-    identity in f32 (NEG remapped to NEG_F32 across the matmul)."""
+    identity in f32 (the `neg` sentinel remapped to NEG_F32 across the
+    matmul and restored after — NEG_K is likewise f32-exact)."""
     if impl == "xlu":
         return jnp.swapaxes(sc, 0, 1)
     n0, n1 = sc.shape
-    scm = jnp.where(sc > NEG_HALF, sc, NEG_F32).astype(jnp.float32)
+    scm = jnp.where(sc > -(2 ** 22), sc, NEG_F32).astype(jnp.float32)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 1)
            ).astype(jnp.float32)
@@ -217,11 +228,11 @@ def _transpose(sc, impl: str):
     scT = jax.lax.dot_general(scm, eye, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     scTi = scT.astype(jnp.int32)
-    return jnp.where(scTi < -(2 ** 22), NEG, scTi)
+    return jnp.where(scTi < -(2 ** 22), neg, scTi)
 
 
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
-                nbp: int, transpose_impl: str):
+                nbp: int, pbw_band: int, transpose_impl: str):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: refs[:h] are RAW position-bin histogram
     phase tables [1, nbp, 16, A, C] bf16/f32 and refs[h] is the pbw block
@@ -249,6 +260,19 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     key_bin = [None] * h                     # static unroll-time bin tags
 
     sc = score0_ref[0]                       # [R, C] std layout (== natural)
+    if mix:
+        # mix-path sentinels: the in-kernel tables hold EW_INVALID at
+        # absent edges, so the step is a bare add+max; remap score0's NEG
+        # to NEG_K (valid scores are >= 0 in both domains, so every
+        # classification below is unchanged — see module constants)
+        negs, neghs, key_t = NEG_K, NEG_HALF_K, KEY_T
+        sc = jnp.where(sc > NEG_HALF, sc, NEG_K)
+        # hoisted mix constants: per-row priority 3-c and its clamped-key
+        # ceiling (computed once, reused by every (phase, bin) refresh)
+        kshape = (16, 4 ** (k - 1 - h), 4 ** h)
+        pr_tab = 3 - (jax.lax.broadcasted_iota(jnp.int32, kshape, 0) >> 2)
+    else:
+        negs, neghs, key_t = NEG, NEG_HALF, NEG_HALF
     bp_acc = None
 
     for tt in range(1, t_hi + 1):
@@ -258,7 +282,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         g, field = divmod(tt - 1, gsz)
         if field == 0:
             if tt > 1:
-                sc = _transpose(sc, transpose_impl)
+                sc = _transpose(sc, transpose_impl, negs)
             bp_acc = jnp.zeros(sc.shape, jnp.int32)
 
         # expose digit q as the middle axis of the sublane half
@@ -277,15 +301,25 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         ph = q % h
         if mix:
             if key_bin[ph] != jbin:          # static: refresh once per bin
+                # banded mix: pbw[i][j] == 0 exactly outside |i-j| <=
+                # pbw_band (host-verified; the drifted-walk kernel is
+                # tridiagonal at realistic rates), so those terms are
+                # skipped statically — exact, any summation order of
+                # integer-exact f32 terms gives the same sum
                 W = None
-                for i in range(nbp):
+                for i in range(max(0, jbin - pbw_band),
+                               min(nbp - 1, jbin + pbw_band) + 1):
                     scal = pbw_ref[0, i, jbin].astype(jnp.float32)
                     term = ewp_refs[ph][0, i].astype(jnp.float32) * scal
                     W = term if W is None else W + term
+                if W is None:       # band window misses every position bin
+                    W = jnp.zeros(kshape, jnp.float32)
                 Wi = jnp.minimum(W.astype(jnp.int32), PBW_CLAMP)
-                pr = 3 - (jax.lax.broadcasted_iota(
-                    jnp.int32, Wi.shape, 0) >> 2)
-                key_tab[ph] = jnp.where(Wi > 0, (Wi << 2) + pr, 0)
+                # absent edges pre-biased to EW_INVALID: the step below is
+                # then a bare add+max (2 VPU ops per (c, bb) instead of the
+                # u16 path's widen+compare+add+select+max)
+                key_tab[ph] = jnp.where(Wi > 0, (Wi << 2) + pr_tab,
+                                        EW_INVALID)
                 key_bin[ph] = jbin
             ew = key_tab[ph]                  # [16, 4^(k-1-h), 4^h] i32
         else:
@@ -295,14 +329,18 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         for bb in range(4):
             best = None
             for c in range(4):
-                # widen u16 -> i32 BEFORE comparing (v5e Mosaic has no
-                # 16-bit compare: "Target does not support this comparison")
-                wv = ew[c * 4 + bb].reshape(A, Bv, L).astype(jnp.int32)
-                cand = jnp.where(wv > 0, scv[:, c] + wv, NEG)
+                if mix:
+                    cand = scv[:, c] + ew[c * 4 + bb].reshape(A, Bv, L)
+                else:
+                    # widen u16 -> i32 BEFORE comparing (v5e Mosaic has no
+                    # 16-bit compare: "Target does not support this
+                    # comparison")
+                    wv = ew[c * 4 + bb].reshape(A, Bv, L).astype(jnp.int32)
+                    cand = jnp.where(wv > 0, scv[:, c] + wv, NEG)
                 best = cand if best is None else jnp.maximum(best, cand)
             keys.append(best)
         key = jnp.stack(keys, axis=1).reshape(sc.shape)
-        sc = jnp.where(key > NEG_HALF, key >> 2, NEG)
+        sc = jnp.where(key > key_t, key >> 2, negs)
         bpn = 3 - (key & 3)                   # = c at valid positions
         bp_acc = bp_acc | (bpn << (2 * field))
 
@@ -312,9 +350,9 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         if tt >= t_lo:
             nat = natp_ref[q % h]
             eligm = eligp_ref[0, q % h] != 0
-            masked = jnp.where(eligm, sc, NEG)
+            masked = jnp.where(eligm, sc, negs)
             mx = jnp.max(masked)
-            ok = mx > NEG_HALF
+            ok = mx > neghs
             natsel = jnp.where(eligm & (sc == mx), nat, 4 ** k)
             endnat = jnp.where(ok, jnp.min(natsel), 0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
@@ -325,9 +363,11 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
-                                             "interpret", "transpose_impl"))
+                                             "pbw_band", "interpret",
+                                             "transpose_impl"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
+               pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu"):
     """(bpp [B, nG, R, C] u8 2-bit-packed, ends [B, nT] i32 NATURAL,
     endok [B, nT] bool).
@@ -339,6 +379,8 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     position-bin histogram tables [B, nbp, 16, 4^(k-1-h), 4^h] bf16/f32
     (edges_layout="phases_h"); the positional mix + clamp + key-pack then
     runs in-kernel (see _cyc_kernel), bit-identical to the XLA mix.
+    pbw_band: static bound with pbw[..., i, j] == 0 for all |i-j| >
+    pbw_band (caller-verified; -1 = unknown -> full mix).
     DP step tt uses step-bin min((tt-1)//g_step, nbt-1) of phase
     (k-tt) % k % h.  src/snk: int32 [B, 4^k].
     """
@@ -386,9 +428,10 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
         jnp.arange(B), source].set(jnp.where(have_src, 0, NEG)
                                    ).reshape(B, R, C)
 
+    band = nbp if pbw_band < 0 else pbw_band
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
-                          g_step=g_step, nbt=nbt, nbp=nbp,
+                          g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
                           transpose_impl=transpose_impl),
         grid=(B,),
         out_shape=(
