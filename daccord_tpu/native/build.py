@@ -56,6 +56,12 @@ def get_lib():
             lib.ops_count_batch.restype = None
             lib.ops_count_rows.argtypes = lib.ops_count_batch.argtypes
             lib.ops_count_rows.restype = None
+            lib.stitch_jstar_runs.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.stitch_jstar_runs.restype = None
             _lib = lib
         except Exception:
             _lib = None

@@ -179,6 +179,61 @@ void ops_count_rows(const uint8_t* A, const int64_t* la, const uint8_t* B,
     }
 }
 
+// Window-stitch merge positions (ALGORITHM §5): for each run of adjacent
+// window consensi, walk the merges sequentially: jstar = first argmin_j
+// D[lt][j] (j <= lq) of the edit DP of the lp-suffix `tail` vs the next
+// winner q, then tail <- suffix_lp(tail + q[jstar:]).  Emits jstar per
+// window (first window of a run: 0).  Bit-identical to the pinned numpy
+// lockstep (stitcher._batched_merge_jstar); threaded over runs.
+void stitch_jstar_runs(const uint8_t* Q, const int64_t* qlen,
+                       const int64_t* run_off, int64_t nruns, int64_t LQ,
+                       int64_t lp, int64_t* jstar, int64_t nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    auto worker = [&](int64_t t) {
+        std::vector<uint8_t> tail(lp), cat(2 * lp + LQ);
+        std::vector<int32_t> r0(LQ + 1), r1(LQ + 1);
+        for (int64_t r = t; r < nruns; r += nthreads) {
+            const int64_t w0 = run_off[r], w1 = run_off[r + 1];
+            int64_t lt = std::min(qlen[w0], lp);
+            std::memcpy(tail.data(), Q + w0 * LQ + (qlen[w0] - lt), lt);
+            jstar[w0] = 0;
+            for (int64_t w = w0 + 1; w < w1; ++w) {
+                const uint8_t* q = Q + w * LQ;
+                const int64_t lq = qlen[w];
+                // row DP to row lt over columns 0..lq
+                for (int64_t j = 0; j <= lq; ++j) r0[j] = (int32_t)j;
+                for (int64_t i = 1; i <= lt; ++i) {
+                    r1[0] = (int32_t)i;
+                    const uint8_t pi = tail[i - 1];
+                    for (int64_t j = 1; j <= lq; ++j)
+                        r1[j] = min3(r0[j - 1] + (pi != q[j - 1]),
+                                     r0[j] + 1, r1[j - 1] + 1);
+                    std::swap(r0, r1);
+                }
+                int32_t best = INT32_MAX;
+                int64_t bj = 0;
+                for (int64_t j = 0; j <= lq; ++j)
+                    if (r0[j] < best) { best = r0[j]; bj = j; }
+                jstar[w] = bj;
+                // tail <- last lp of (tail + q[bj:])
+                const int64_t np_ = lq - bj;
+                std::memcpy(cat.data(), tail.data(), lt);
+                std::memcpy(cat.data() + lt, q + bj, np_);
+                const int64_t lc = lt + np_;
+                lt = std::min(lc, lp);
+                std::memcpy(tail.data(), cat.data() + (lc - lt), lt);
+            }
+        }
+    };
+    if (nthreads == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; ++t) ts.emplace_back(worker, t);
+        for (auto& th : ts) th.join();
+    }
+}
+
 void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
                    const int64_t* lb, const int64_t* X, int64_t PX,
                    int64_t N, int64_t LA, int64_t LB, int64_t* out,

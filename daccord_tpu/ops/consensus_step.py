@@ -487,33 +487,41 @@ def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     end_onehot = (jr_c == slen[None, :, None, :].astype(jnp.int8)
                   ).astype(jnp.int8)
 
-    def sc_row(row, i):
-        ci = jnp.take_along_axis(
-            cands, ((i - 1) * jnp.ones((B, nT, 1), jnp.int32)), axis=2)
-        sub = (ci[None, :, :, 0:1] != ST).astype(jnp.int8)  # [Wp,B,nT,D1]
+    # candidate columns ride the scan's xs (leading-axis slices) — indexing
+    # cands by the traced step counter would lower to a dynamic gather per
+    # step (~48 of them, measured several ms of pure gather overhead)
+    candsT = cands.transpose(2, 0, 1)                        # [LC, B, nT]
+
+    def sc_row(row, i, ci):
+        sub = (ci[None, :, :, None] != ST).astype(jnp.int8)  # [Wp,B,nT,D1]
         tmp = jnp.minimum(row[:-1] + sub, row[1:] + jnp.int8(1))
         headc = jnp.full((1, B, nT, D1), 0, jnp.int8) + i.astype(jnp.int8)
         t2 = jnp.concatenate([headc, tmp], axis=0) - jr_c
         acc = jax.lax.associative_scan(jnp.minimum, t2, axis=0)
         return acc + jr_c
 
-    def sc_step_head(row, i):
-        return sc_row(row, i), None
+    def sc_step_head(row, x):
+        i, ci = x
+        return sc_row(row, i, ci), None
 
-    def sc_step_tail(carry, i):
+    def sc_step_tail(carry, x):
+        i, ci = x
         row, out = carry
-        row = sc_row(row, i)
+        row = sc_row(row, i, ci)
         at_end = (row * end_onehot).sum(axis=0).astype(jnp.int32)  # [B,nT,D1]
         out = jnp.where(lc[:, :, None] == i, at_end, out)
         return (row, out), None
 
     # candidate lengths lie in [k+t_lo, LC]: capture D[lc][slen] only there
     n_sc_head = k + t_lo - 1
-    row_mid, _ = jax.lax.scan(sc_step_head, row0,
-                              jnp.arange(1, n_sc_head + 1), length=n_sc_head)
-    (_, dist), _ = jax.lax.scan(sc_step_tail, (row_mid, out0),
-                                jnp.arange(n_sc_head + 1, LC + 1),
-                                length=LC - n_sc_head)
+    row_mid, _ = jax.lax.scan(
+        sc_step_head, row0,
+        (jnp.arange(1, n_sc_head + 1), candsT[:n_sc_head]),
+        length=n_sc_head)
+    (_, dist), _ = jax.lax.scan(
+        sc_step_tail, (row_mid, out0),
+        (jnp.arange(n_sc_head + 1, LC + 1), candsT[n_sc_head:]),
+        length=LC - n_sc_head)
     dist = jnp.where(dvalid[:, None, :], dist, 0)            # mask pad strings
     cost = dist.sum(axis=2).astype(jnp.int32)                # [B,nT]
     cost = jnp.where(endok, cost, BIG)

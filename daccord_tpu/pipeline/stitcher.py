@@ -42,9 +42,13 @@ def _batched_merge_jstar(P: np.ndarray, Q: np.ndarray, lq: np.ndarray,
 
 
 def stitch_many(winners_per_read: List[List[Optional[np.ndarray]]],
-                cfg: DaccordConfig
+                cfg: DaccordConfig, native: Optional[bool] = None
                 ) -> List[List[Tuple[int, int, np.ndarray]]]:
-    """Batched equivalent of [stitch(w, cfg) for w in winners_per_read]."""
+    """Batched equivalent of [stitch(w, cfg) for w in winners_per_read].
+
+    native: use the C++ run-walker for the merge DPs (default: when the
+    native lib is available).  The numpy lockstep below is the pinned
+    reference; both are bit-identical (tests/test_stitcher.py)."""
     w, a = cfg.w, cfg.a
     lp = (w - a) + cfg.path_delta
     lq_max = w + cfg.path_delta
@@ -66,6 +70,44 @@ def stitch_many(winners_per_read: List[List[Optional[np.ndarray]]],
                          "parts": [first], "tail": first[-lp:]
                          if len(first) >= lp else first.copy()})
             i = j + 1
+
+    lib = None
+    if native is not False:
+        from daccord_tpu.native.build import get_lib
+        lib = get_lib()
+    if lib is not None and runs:
+        # ---- native path: all merges of all runs in ONE C++ call ----
+        # (the numpy lockstep costs ~0.7s of pure small-array overhead at
+        # 30k windows; the C++ walker is ~20ms).  Only the jstar positions
+        # and tail evolution move to C++; splicing stays here, identical.
+        import os as _os
+        windows: List[np.ndarray] = []
+        run_off = np.zeros(len(runs) + 1, dtype=np.int64)
+        for ri, run in enumerate(runs):
+            ws = winners_per_read[run["read"]][run["i"]:run["j"] + 1]
+            windows.extend(ws)
+            run_off[ri + 1] = len(windows)
+        nw = len(windows)
+        LQ = max(lq_max, max(len(q) for q in windows))
+        Q = np.full((nw, LQ), PAD, dtype=np.uint8)
+        qlen = np.zeros(nw, dtype=np.int64)
+        for idx, q in enumerate(windows):
+            Q[idx, :len(q)] = q
+            qlen[idx] = len(q)
+        jstar = np.zeros(nw, dtype=np.int64)
+        nt = int(_os.environ.get("DACCORD_NATIVE_THREADS", 0)) \
+            or min(4, _os.cpu_count() or 1)
+        lib.stitch_jstar_runs(Q.ctypes.data, qlen.ctypes.data,
+                              run_off.ctypes.data, len(runs), LQ, lp,
+                              jstar.ctypes.data, nt)
+        for ri, run in enumerate(runs):
+            parts = [windows[run_off[ri]]]
+            for wdx in range(int(run_off[ri]) + 1, int(run_off[ri + 1])):
+                part = windows[wdx][int(jstar[wdx]):]
+                if len(part):
+                    parts.append(part)
+            run["parts"] = parts
+        return _emit(runs, winners_per_read, a, w)
 
     round_idx = 1
     while True:
@@ -107,6 +149,10 @@ def stitch_many(winners_per_read: List[List[Optional[np.ndarray]]],
             run["tail"] = cat[-lp:]
         round_idx += 1
 
+    return _emit(runs, winners_per_read, a, w)
+
+
+def _emit(runs, winners_per_read, a, w):
     out: List[List[Tuple[int, int, np.ndarray]]] = [
         [] for _ in winners_per_read]
     for run in runs:

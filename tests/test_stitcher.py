@@ -1,6 +1,7 @@
-"""Batched stitcher vs oracle stitch: identical output."""
+"""Batched stitcher vs oracle stitch: identical output (numpy + native)."""
 
 import numpy as np
+import pytest
 
 from daccord_tpu.oracle.consensus import stitch
 from daccord_tpu.pipeline.stitcher import stitch_many
@@ -18,11 +19,12 @@ def _rand_winners(rng, nwin, p_fail=0.15):
     return out
 
 
-def test_stitch_many_equals_oracle():
+@pytest.mark.parametrize("native", [False, True])
+def test_stitch_many_equals_oracle(native):
     rng = np.random.default_rng(9)
     cfg = DaccordConfig()
     reads = [_rand_winners(rng, int(rng.integers(0, 60))) for _ in range(25)]
-    got = stitch_many(reads, cfg)
+    got = stitch_many(reads, cfg, native=native)
     for r, winners in enumerate(reads):
         want = stitch(winners, cfg)
         assert len(got[r]) == len(want), r
@@ -31,7 +33,8 @@ def test_stitch_many_equals_oracle():
             assert np.array_equal(g[2], w_[2]), r
 
 
-def test_stitch_many_realistic_overlaps():
+@pytest.mark.parametrize("native", [False, True])
+def test_stitch_many_realistic_overlaps(native):
     """Winners that genuinely overlap like adjacent windows do."""
     rng = np.random.default_rng(10)
     cfg = DaccordConfig()
@@ -50,7 +53,7 @@ def test_stitch_many_realistic_overlaps():
                     s[p] = (s[p] + 1) % 4
                 winners.append(s)
         reads.append(winners)
-    got = stitch_many(reads, cfg)
+    got = stitch_many(reads, cfg, native=native)
     for r, winners in enumerate(reads):
         want = stitch(winners, cfg)
         assert len(got[r]) == len(want)
