@@ -440,6 +440,20 @@ def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
     b_idx = jnp.arange(B)[:, None]
     bases_cols = [None] * t_hi
 
+    # TPU: the t_hi data-dependent [B, nT] gathers cost ~150us each as
+    # gather HLOs; a one-hot row-select dot reads the same bytes at stream
+    # bandwidth (bpp values < 2^8 are bf16-exact, one-hot products/sums are
+    # exact in f32).  CPU (interpret-mode tests) keeps the gather — fast
+    # there, and the CPU backend rejects bf16 x bf16 dots at dispatch.
+    try:
+        use_onehot = jax.devices()[0].platform == "tpu"
+    except Exception:
+        use_onehot = False
+    if use_onehot:
+        bppf = bpp.astype(jnp.bfloat16)                          # [B,nG,R,C]
+        CC = 4 ** h                                              # R == C
+        c_iota = jnp.arange(CC, dtype=jnp.int32)
+
     for tt in range(t_hi, 0, -1):
         q = (k - tt) % k
         std = q >= h
@@ -454,7 +468,14 @@ def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
             phys = phys | (((v >> (2 * i)) & 3) << (2 * (k - 1 - p)))
         r = phys >> (2 * ncol)
         c = phys & ((1 << (2 * ncol)) - 1)
-        byte = bpp[:, g][b_idx, r, c].astype(jnp.int32)          # [B, nT]
+        if use_onehot:
+            ohr = (r[:, :, None] == c_iota).astype(jnp.bfloat16)  # [B,nT,R]
+            rows = jnp.einsum("bnr,brc->bnc", ohr, bppf[:, g],
+                              preferred_element_type=jnp.float32)
+            ohc = (c[:, :, None] == c_iota).astype(jnp.float32)
+            byte = (rows * ohc).sum(axis=-1).astype(jnp.int32)    # [B, nT]
+        else:
+            byte = bpp[:, g][b_idx, r, c].astype(jnp.int32)       # [B, nT]
         cc = (byte >> (2 * field)) & 3
         act = tt <= Ts
         bases_cols[tt - 1] = jnp.where(act, (v & 3), 0).astype(jnp.uint8)

@@ -345,7 +345,9 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         bp_acc = bp_acc | (bpn << (2 * field))
 
         if field == gsz - 1 or tt == t_hi:
-            bpp_ref[0, g] = bp_acc
+            # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp write
+            # traffic (and the XLA-side traceback's convert)
+            bpp_ref[0, g] = bp_acc.astype(jnp.int16)
 
         if tt >= t_lo:
             nat = natp_ref[q % h]
@@ -435,7 +437,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                           transpose_impl=transpose_impl),
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nG, R, C), jnp.int32),
+            jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
         in_specs=[ew_spec] * h + list(extra_specs) + [
