@@ -242,3 +242,43 @@ def test_filterchains_chain_flags(tmp_path):
     got = [(o.aread, o.bread, o.abpos, o.aepos) for o in fl]
     assert got == [(0, 1, 0, 500), (0, 1, 500, 900),
                    (0, 2, 0, 300), (0, 2, 300, 600)]
+
+
+def test_lascheck_passes_and_catches(dataset, tmp_path):
+    """lascheck: clean .las passes; framing/sort/span violations caught."""
+    from daccord_tpu.formats.las import write_las
+    from daccord_tpu.tools.lascheck import check_las, main as lascheck_main
+
+    ds, db, las, d = dataset
+    dbf = DazzlerDB.open(db)
+    assert check_las(las, dbf) == []
+    assert lascheck_main([las, db, "-v"]) == 0
+
+    recs = list(LasFile.open(las))
+    lf = LasFile.open(las)
+
+    # unsorted: swap two records
+    bad1 = str(tmp_path / "unsorted.las")
+    write_las(bad1, lf.tspace, [recs[1], recs[0]] + recs[2:])
+    errs = check_las(bad1, dbf)
+    assert any("not sorted" in e for e in errs)
+
+    # span violation: bepos beyond blen
+    import dataclasses
+    r = recs[0]
+    blen = int(dbf.rlen[r.bread])
+    bad2 = str(tmp_path / "span.las")
+    write_las(bad2, lf.tspace,
+              [dataclasses.replace(r, bepos=blen + 7)] + recs[1:])
+    errs = check_las(bad2, dbf)
+    assert any("B span" in e or "B-advances" in e for e in errs)
+
+    # truncated file: header novl too large
+    bad3 = str(tmp_path / "trunc.las")
+    import struct as _st
+    raw = open(las, "rb").read()
+    open(bad3, "wb").write(_st.pack("<qi", lf.novl + 5, lf.tspace)
+                           + raw[12:])
+    errs = check_las(bad3, dbf)
+    assert errs
+    assert lascheck_main([bad1, db]) == 1
