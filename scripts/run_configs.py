@@ -92,8 +92,12 @@ def run_config(idx, scale, cachedir):
     db, las, nreads = prepare(c, scale, cachedir)
     cfg = DaccordConfig(batch_windows=256)
     # warm compiles + first-execution loads so per-config numbers are
-    # steady-state (one-time costs amortize in production runs)
-    run_tpu(db, las, cfg.replace(I=(0, 2)))
+    # steady-state (one-time costs amortize in production runs).  A FULL
+    # warm pass: a 2-read warmup leaves most depth-bucket executables
+    # unloaded, and on the tunneled chip each first execution pays a
+    # multi-second device-side load (config 1 measured 152s with partial
+    # warmup vs ~4s steady)
+    run_tpu(db, las, cfg)
     t0 = time.time()
     if "parts2" in c["feats"]:
         outdir = os.path.join(cachedir, f"parts-{c['name']}")
