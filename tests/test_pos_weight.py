@@ -125,3 +125,32 @@ def test_weighted_k2_oracle():
     for p in _random_piles(4, 8, rng):
         res = window_consensus([s.copy() for s in p], CFG, PLQ, CFG.k2, PBW)
         assert res is not None and np.array_equal(res, p[0])
+
+
+def test_weighted_tie_heavy_scan_equals_cyc():
+    """Tie-dense WEIGHTED inputs: the kernel's in-VMEM mix pre-biases
+    absent edges to a large negative instead of excluding them (bare
+    add+max inner loop), and equal-score ties must still resolve to the
+    smallest predecessor char exactly like the scan path (first-wins)."""
+    from daccord_tpu.ops.consensus_step import consensus_step
+    rng = np.random.default_rng(17)
+    piles = []
+    for _ in range(8):
+        truth = rng.integers(0, 2, size=CFG.w).astype(np.uint8)  # binary
+        strings = [truth.copy()]
+        for _ in range(6):
+            s = truth.copy()
+            for j in rng.integers(0, CFG.w, size=2):
+                s[j] = rng.integers(0, 2)
+            strings.append(s)
+        piles.append(strings)
+    S, slen, nstr = pack_windows(piles, CFG)
+    ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], np.int32)
+    pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], np.int32)
+    kw = dict(k=CFG.k, w=CFG.w, path_delta=CFG.path_delta, e_q6=e_q6_of(CFG))
+    a = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl="scan", **kw)
+    b = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl="cyc_interpret",
+                       **kw)
+    for name in ("ok", "length", "bases", "cost"):
+        assert np.array_equal(np.asarray(getattr(a, name)),
+                              np.asarray(getattr(b, name))), name
