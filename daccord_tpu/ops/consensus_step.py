@@ -652,6 +652,7 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
                    w: int, path_delta: int, e_q6: int = 1_000_000,
                    dp_impl: str = "auto", pos_bin: int = 8,
+                   pbw_band: int = None,
                    tp_sharding=None) -> ConsensusOut:
     """One batched consensus pass at k-mer size k (see _consensus_step_jit).
 
@@ -660,9 +661,17 @@ def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
     DP implementation directly — all bit-identical (tests/test_pallas_dbg.py).
     pbw: optional int32 [NB, NB] positional edge-weight kernel (ALGORITHM §4,
     offset_likely.pos_bin_weights_q6); None = unweighted v1 counts.
+    pbw_band: optional static band bound of pbw (|i-j| > band => 0); computed
+    here when pbw is concrete, must be passed by callers tracing this
+    function (e.g. inside shard_map) to keep the banded kernel mix.
     """
     if dp_impl == "auto":
         dp_impl = default_dp_impl()
+    if pbw_band is not None:
+        return _consensus_step_jit(S, slen, nstr, plq_src, plq_snk, pbw,
+                                   k=k, w=w, path_delta=path_delta, e_q6=e_q6,
+                                   dp_impl=dp_impl, pos_bin=pos_bin,
+                                   pbw_band=pbw_band, tp_sharding=tp_sharding)
     pbw_band = -1
     if pbw is not None and not isinstance(pbw, jax.core.Tracer):
         # static band of the positional kernel: pbw[..., i, j] == 0 exactly

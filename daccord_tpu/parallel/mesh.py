@@ -52,30 +52,63 @@ def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
 
     from daccord_tpu.pipeline.batcher import e_q6_of
 
-    def fn(S, slen, nstr, plq_src, plq_snk, pbw):
+    def fn(S, slen, nstr, plq_src, plq_snk, pbw, pbw_band=None):
         return tuple(consensus_step(S, slen, nstr, plq_src, plq_snk, pbw,
                                     k=k, w=cfg.w, path_delta=cfg.path_delta,
                                     e_q6=e_q6_of(cfg), pos_bin=cfg.pos_bin,
-                                    tp_sharding=tp))
+                                    pbw_band=pbw_band, tp_sharding=tp))
 
     # plq/pbw tables arrive shared (1D/2D, replicated) or per-window
     # (2D/3D, data-sharded; positional-eprof groups mixed in a batch)
     jits: dict = {}
+    # Data-parallel-only meshes (model == 1, the production pod shape) run
+    # the step under shard_map: each device executes the whole step — cyc
+    # Pallas kernel included — on its LOCAL batch shard.  Under plain GSPMD
+    # a pallas_call is an opaque op (replicated/gathered), so the kernel
+    # path would silently lose the data sharding.  TP meshes (model > 1)
+    # keep the GSPMD path: the tp constraint partitions the (k+1)-mer axis
+    # through the scan DP, which shard_map's local view cannot express.
+    use_shard_map = mesh.shape.get("model", 1) == 1
+
+    def _band_of(pbw):
+        if pbw is None:
+            return -1
+        pb = np.asarray(pbw).reshape(-1, pbw.shape[-2], pbw.shape[-1])
+        ii, jj = np.nonzero(pb.any(axis=0))
+        return int(np.abs(ii - jj).max()) if len(ii) else 0
 
     def call(S, slen, nstr, plq_src, plq_snk, pbw=None):
         key = (plq_src.ndim, None if pbw is None else pbw.ndim)
         if key not in jits:
-            sh_p = shard_b2 if plq_src.ndim == 2 else repl
-            in_sh = [shard_b3, shard_b2, shard_b1, sh_p, sh_p]
-            if pbw is None:
-                jits[key] = jax.jit(functools.partial(fn, pbw=None),
-                                    in_shardings=tuple(in_sh),
-                                    out_shardings=out_shardings)
+            if use_shard_map:
+                from jax.experimental.shard_map import shard_map
+                p_spec = P("data", None) if plq_src.ndim == 2 else P()
+                in_specs = [P("data", None, None), P("data", None),
+                            P("data"), p_spec, p_spec]
+                if pbw is not None:
+                    in_specs.append(P("data", None, None)
+                                    if pbw.ndim == 3 else P())
+                out_specs = (P("data"), P("data"), P("data", None),
+                             P("data"))
+                band = _band_of(pbw)
+                body = (functools.partial(fn, pbw=None, pbw_band=band)
+                        if pbw is None
+                        else functools.partial(fn, pbw_band=band))
+                jits[key] = jax.jit(shard_map(
+                    body, mesh=mesh, in_specs=tuple(in_specs),
+                    out_specs=out_specs, check_rep=False))
             else:
-                in_sh.append(NamedSharding(mesh, P("data", None, None))
-                             if pbw.ndim == 3 else repl)
-                jits[key] = jax.jit(fn, in_shardings=tuple(in_sh),
-                                    out_shardings=out_shardings)
+                sh_p = shard_b2 if plq_src.ndim == 2 else repl
+                in_sh = [shard_b3, shard_b2, shard_b1, sh_p, sh_p]
+                if pbw is None:
+                    jits[key] = jax.jit(functools.partial(fn, pbw=None),
+                                        in_shardings=tuple(in_sh),
+                                        out_shardings=out_shardings)
+                else:
+                    in_sh.append(NamedSharding(mesh, P("data", None, None))
+                                 if pbw.ndim == 3 else repl)
+                    jits[key] = jax.jit(fn, in_shardings=tuple(in_sh),
+                                        out_shardings=out_shardings)
         if pbw is None:
             return jits[key](S, slen, nstr, plq_src, plq_snk)
         return jits[key](S, slen, nstr, plq_src, plq_snk, pbw)

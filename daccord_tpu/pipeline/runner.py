@@ -345,7 +345,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         if retries and use_dev:
             from daccord_tpu.ops.sparse_k2 import consensus_step_sparse
             from daccord_tpu.pipeline.batcher import pack_windows
-            K2_BS = 64
+            K2_BS = int(os.environ.get("DACCORD_K2_BS", "64"))
             pk2_stack = np.stack([np.ascontiguousarray(
                 p[:cfg.wprime, cfg.w - cfg.k2], np.int32)
                 for p in tables.plq])
