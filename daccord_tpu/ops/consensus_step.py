@@ -69,7 +69,16 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     DIRECTLY in each phase layout — the one-hot row/col split of the
     histogram matmul follows the phase's digit permutation
     (pallas_dbg_cyc.phase_digit_seq), so no transposes/pre-permutes are
-    needed at all (they measured ~10x slower than the matmuls on-chip)."""
+    needed at all (they measured ~10x slower than the matmuls on-chip).
+
+    edges_layout="codes" (weighted cyc production): edges is (rows, cols),
+    int32 [B, h, nbp, gp] per-phase row/col CODE arrays (the same
+    phase_digit_seq digit split, but shipped as codes instead of built
+    histograms); the cyc kernel builds the histograms itself as one-hot MXU
+    dots in VMEM (pallas_dbg_cyc codes mode) — the histogram tensors
+    (~3MB/window at k=8) never touch HBM.  Invalid and padded positions
+    hold -1 (their one-hot row is all zeros); gp pads D1*g to a lane
+    multiple."""
     B, D1, Wp = S.shape
     M = 4 ** k
     M1 = 4 ** (k - 1)
@@ -208,6 +217,36 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         # natural (k+1)-mer counts: e = c*4^k + h*4 + bb; the scan path
         # derives its [B,NBT,4,4,M1] int16 layout from this
         edges = _mix(H).reshape(B, nbt, 4 ** (k + 1))
+    elif edges_layout == "codes":
+        # per-phase row/col codes only — the cyc kernel histograms them
+        # in-VMEM (one-hot MXU dots); nothing histogram-sized touches HBM
+        from daccord_tpu.ops.pallas_dbg_cyc import phase_digit_seq
+        assert pbw is not None, "codes layout is the weighted cyc path"
+        h2 = k // 2
+        s = (k + 2) // 2
+        gD1 = eci.shape[-1]                       # D1 * g positions per bin
+        gp = -(-gD1 // 128) * 128
+        rows = [None] * h2
+        cols = [None] * h2
+        for j in range(h2):
+            seq = phase_digit_seq(k, j)
+            row = jnp.zeros_like(eci)
+            col = jnp.zeros_like(eci)
+            for i, dpos in enumerate(seq):
+                d = (eci >> (2 * dpos)) & 3
+                if i < s:
+                    row = (row << 2) | d
+                else:
+                    col = (col << 2) | d
+            rows[(k - 1 - j) % h2] = jnp.where(emi, row, -1)
+            cols[(k - 1 - j) % h2] = jnp.where(emi, col, -1)
+        rows = jnp.stack(rows, 1)                 # [B, h, nbp, gD1]
+        cols = jnp.stack(cols, 1)
+        if gp != gD1:
+            padw = ((0, 0), (0, 0), (0, 0), (0, gp - gD1))
+            rows = jnp.pad(rows, padw, constant_values=-1)
+            cols = jnp.pad(cols, padw, constant_values=-1)
+        edges = (rows, cols)
     else:                     # "phases"/"phases_h": cyc kernel tables
         from daccord_tpu.ops.pallas_dbg_cyc import phase_digit_seq
         h2 = k // 2
@@ -246,13 +285,14 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
 def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str,
-        pbw=None, pbw_band: int = -1):
+        pbw=None, pbw_band: int = -1, edges_layout: str = ""):
     """Stage 2: max-plus heaviest-path DP.
 
     edges: per-step-bin edge tables from _build_tables — int32
-    [B, NBT, 4^(k+1)] natural layout for the scan paths, or the tuple of
-    uint16 phase tables for the cyc kernel.  DP step t uses table
-    min((t-1)//g_step, NBT-1).
+    [B, NBT, 4^(k+1)] natural layout for the scan paths, the tuple of
+    uint16/raw-histogram phase tables for the cyc kernel, or the (rows,
+    cols) code pair for the cyc kernel's in-VMEM histogram path
+    (edges_layout="codes").  DP step t uses table min((t-1)//g_step, NBT-1).
 
     Returns (bp_repr, ends [B,nT], endok) where bp_repr is
     ('dense', bps [t_hi,B,4,M1] u8) for the scan/legacy-pallas paths or
@@ -264,9 +304,14 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
     if dp_impl.startswith("cyc"):
         from daccord_tpu.ops.pallas_dbg_cyc import cyc_dbg_dp
         assert isinstance(edges, tuple), \
-            "cyc DP needs edges_layout='phases'/'phases_h' tables"
+            "cyc DP needs edges_layout='phases'/'phases_h'/'codes' tables"
+        if edges_layout == "codes":
+            ewps, codes = None, edges
+        else:
+            ewps, codes = edges, None
         bpp, ends, endok = cyc_dbg_dp(
-            edges, src, snk, pbw, k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
+            ewps, src, snk, pbw, codes,
+            k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
@@ -612,9 +657,15 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         assert D1 * (Wp - k) * 4 + 3 < 2 ** 16, \
             f"cyc packed edge keys can exceed uint16 (D1={D1}, W'={Wp})"
     if use_cyc:
-        # weighted: ship raw H phase tables; the kernel mixes in-VMEM
-        # (skips the XLA mix's HBM-materialized f32 dot output)
-        layout = "phases_h" if pbw is not None else "phases"
+        if pbw is not None:
+            # weighted: ship per-phase row/col CODES; the kernel builds the
+            # histograms as one-hot MXU dots in VMEM and mixes there too —
+            # neither the raw histograms nor the mixed tables touch HBM.
+            # "cyc_hbm*" keeps the previous ablation point (XLA-built raw H
+            # phase tables in HBM, in-kernel mix only).
+            layout = "phases_h" if dp_impl.startswith("cyc_hbm") else "codes"
+        else:
+            layout = "phases"
     else:
         layout = "natural"
     src, snk, edges = _build_tables(
@@ -629,7 +680,7 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                                      t_hi=t_hi, g_step=g_step,
                                      dp_impl=dp_impl,
                                      pbw=pbw if use_cyc else None,
-                                     pbw_band=pbw_band)
+                                     pbw_band=pbw_band, edges_layout=layout)
     if t_lo == 0:
         # oracle fails a window with no observed (k+1)-mer edges outright,
         # even when a T=0 source-only candidate would be eligible
@@ -657,8 +708,11 @@ def consensus_step(S, slen, nstr, plq_src, plq_snk, pbw=None, *, k: int,
     """One batched consensus pass at k-mer size k (see _consensus_step_jit).
 
     dp_impl: 'auto' resolves per-backend (default_dp_impl); explicit values
-    'scan' | 'cyc' | 'cyc_mxu' | 'cyc_interpret' | 'pallas_interpret' pick a
-    DP implementation directly — all bit-identical (tests/test_pallas_dbg.py).
+    'scan' | 'cyc' | 'cyc_mxu' | 'cyc_hbm' | 'cyc_interpret' |
+    'cyc_hbm_interpret' | 'pallas_interpret' pick a DP implementation
+    directly — all bit-identical (tests/test_pallas_dbg.py).  'cyc' builds
+    the weighted-path histograms in-kernel (codes layout); 'cyc_hbm' is the
+    ablation point that builds them XLA-side in HBM (phases_h layout).
     pbw: optional int32 [NB, NB] positional edge-weight kernel (ALGORITHM §4,
     offset_likely.pos_bin_weights_q6); None = unweighted v1 counts.
     pbw_band: optional static band bound of pbw (|i-j| > band => 0); computed

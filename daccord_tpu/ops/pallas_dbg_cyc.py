@@ -232,32 +232,72 @@ def _transpose(sc, impl: str, neg: int = NEG):
 
 
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
-                nbp: int, pbw_band: int, transpose_impl: str):
+                nbp: int, pbw_band: int, transpose_impl: str,
+                codes_mode: bool = False, gp: int = 0, interp: bool = False):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
-    (XLA-side mix+pack).  nbp > 0: refs[:h] are RAW position-bin histogram
-    phase tables [1, nbp, 16, A, C] bf16/f32 and refs[h] is the pbw block
-    [1, nbp, nbt] i32 (SMEM); the mix + clamp + key-pack runs IN-KERNEL at
-    step-bin boundaries — the XLA mix materializes its f32 dot output to HBM
-    before the pack (measured ~2x this stage's traffic), while here the
+    (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
+    at step-bin boundaries — the XLA mix materializes its f32 dot output to
+    HBM before the pack (measured ~2x this stage's traffic), while here the
     mixed table for (phase, bin) is computed once in VMEM and reused for
     every step of the bin that touches the phase.  f32 multiply-add of
     integer-exact operands (counts <= D1*g, weights <= 64, sums < 2^24), so
-    the packed keys are bit-identical to the XLA path's."""
+    the packed keys are bit-identical to the XLA path's.
+
+    Two mix-mode input forms:
+    - codes_mode=False ("phases_h"): refs[:h] are RAW position-bin histogram
+      phase tables [1, nbp, 16, A, C] bf16/f32, refs[h] is the pbw block
+      [1, nbp, nbt] i32 (SMEM).  XLA builds the histograms (einsum) and the
+      kernel DMAs them — ~3MB/window of HBM write + read at k=8.
+    - codes_mode=True ("codes", production): refs[0]/refs[1] are the tiny
+      per-phase row/col CODE arrays [1, h, nbp, gp] i32 (phase_digit_seq
+      digit split, invalid/padded positions = -1) and the histograms are
+      built HERE as one-hot MXU dots into VMEM scratch (refs[-1],
+      [h, nbp, 4^(s), 4^(k+1-s)]): H[ph][n] = ohr @ ohc^T with 0/1 bf16
+      operands and f32 accumulation — exact for any count < 2^24, and equal
+      to the XLA einsum bin-for-bin.  This removes the histogram HBM
+      round-trip entirely (the largest input stream of the step)."""
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     h = k // 2
     mix = nbp > 0
-    ewp_refs = refs[:h]
-    if mix:
+    if codes_mode:
+        assert mix
+        rows_ref, cols_ref, pbw_ref = refs[0], refs[1], refs[2]
+        (eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
+         hscr_ref) = refs[3:]
+        ewp_refs = None
+    elif mix:
+        ewp_refs = refs[:h]
         pbw_ref = refs[h]
-        rest = refs[h + 1:]
+        eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h + 1:]
     else:
-        rest = refs[h:]
-    eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest
+        ewp_refs = refs[:h]
+        eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h:]
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = pl.cdiv(t_hi, gsz)
     key_tab = [None] * h                     # per-phase mixed tables (VMEM)
     key_bin = [None] * h                     # static unroll-time bin tags
+
+    if codes_mode:
+        # build every (phase, position-bin) histogram once, up front: a
+        # one-hot MXU dot per table.  Operands are 0/1 (bf16-exact; f32 in
+        # interpret mode — the CPU backend rejects bf16 dots at dispatch);
+        # accumulation is f32, exact for any integer count < 2^24.  The
+        # scratch dtype is bf16 only when counts are provably <= 256
+        # (gp <= 256; counts are bounded by the valid positions per bin).
+        s = (k + 2) // 2
+        NR, CW = 4 ** s, 4 ** (k + 1 - s)
+        odt = jnp.float32 if interp else jnp.bfloat16
+        riota = jax.lax.broadcasted_iota(jnp.int32, (NR, gp), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (CW, gp), 0)
+        for ph in range(h):
+            for n in range(nbp):
+                ohr = (riota == rows_ref[0, ph, n:n + 1]).astype(odt)
+                ohc = (ciota == cols_ref[0, ph, n:n + 1]).astype(odt)
+                Hf = jax.lax.dot_general(
+                    ohr, ohc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                hscr_ref[ph, n] = Hf.astype(hscr_ref.dtype)
 
     sc = score0_ref[0]                       # [R, C] std layout (== natural)
     if mix:
@@ -310,8 +350,12 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 for i in range(max(0, jbin - pbw_band),
                                min(nbp - 1, jbin + pbw_band) + 1):
                     scal = pbw_ref[0, i, jbin].astype(jnp.float32)
-                    term = ewp_refs[ph][0, i].astype(jnp.float32) * scal
-                    W = term if W is None else W + term
+                    if codes_mode:
+                        Hi = hscr_ref[ph, i].reshape(kshape)
+                    else:
+                        Hi = ewp_refs[ph][0, i]
+                    W = (Hi.astype(jnp.float32) * scal if W is None
+                         else W + Hi.astype(jnp.float32) * scal)
                 if W is None:       # band window misses every position bin
                     W = jnp.zeros(kshape, jnp.float32)
                 Wi = jnp.minimum(W.astype(jnp.int32), PBW_CLAMP)
@@ -368,6 +412,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                                              "pbw_band", "interpret",
                                              "transpose_impl"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
+               codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu"):
@@ -377,10 +422,16 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     ewps: tuple of h = k//2 phase tables.  With pbw=None: uint16 packed-key
     tables [B, NBT, 16, 4^(k-1-h), 4^h] (consensus_step._build_tables
     edges_layout="phases", or the legacy build_phase_tables pre-permute).
-    With pbw (int32 [NB, NB] shared or [B, NB, NB] per-window): RAW
-    position-bin histogram tables [B, nbp, 16, 4^(k-1-h), 4^h] bf16/f32
-    (edges_layout="phases_h"); the positional mix + clamp + key-pack then
-    runs in-kernel (see _cyc_kernel), bit-identical to the XLA mix.
+    With pbw (int32 [NB, NB] shared or [B, NB, NB] per-window), one of:
+    - ewps = RAW position-bin histogram phase tables
+      [B, nbp, 16, 4^(k-1-h), 4^h] bf16/f32 (edges_layout="phases_h"); the
+      positional mix + clamp + key-pack runs in-kernel (_cyc_kernel),
+      bit-identical to the XLA mix; or
+    - codes = (rows, cols), both int32 [B, h, nbp, gp] per-phase row/col
+      code arrays (edges_layout="codes", ewps=None, production): the
+      histograms themselves are built in-kernel as one-hot MXU dots into
+      VMEM scratch, removing the histogram HBM round-trip.  gp = positions
+      per bin padded to a lane multiple; invalid/padded positions hold -1.
     pbw_band: static bound with pbw[..., i, j] == 0 for all |i-j| >
     pbw_band (caller-verified; -1 = unknown -> full mix).
     DP step tt uses step-bin min((tt-1)//g_step, nbt-1) of phase
@@ -389,7 +440,6 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     assert t_lo >= 1 and k % 2 == 0
     B, M = src.shape
     h = k // 2
-    assert len(ewps) == h
     if g_step <= 0:
         g_step = max(t_hi, 1)
     R, C = 4 ** (k - h), 4 ** h
@@ -399,20 +449,41 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     assert nT <= 128
 
     AA, CC = 4 ** (k - 1 - h), 4 ** h
+    gp = 0
+    scratch_shapes = []
     if pbw is None:
+        assert len(ewps) == h
         nbp = 0
         NBT = ewps[0].shape[1]
         ew_spec = pl.BlockSpec((1, NBT, 16, AA, CC),
                                lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)
+        main_in, main_specs = tuple(ewps), (ew_spec,) * h
         extra_in, extra_specs = (), ()
         nbt = NBT
     else:
-        nbp = ewps[0].shape[1]
+        if codes is not None:
+            assert ewps is None
+            rows, cols = codes
+            assert rows.shape[1] == h and cols.shape == rows.shape
+            nbp, gp = rows.shape[2], rows.shape[3]
+            code_spec = pl.BlockSpec((1, h, nbp, gp),
+                                     lambda b: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            main_in = (rows, cols)
+            main_specs = (code_spec, code_spec)
+            s = (k + 2) // 2
+            scr_dt = jnp.float32 if gp > 256 else jnp.bfloat16
+            scratch_shapes = [pltpu.VMEM(
+                (h, nbp, 4 ** s, 4 ** (k + 1 - s)), scr_dt)]
+        else:
+            assert len(ewps) == h
+            nbp = ewps[0].shape[1]
+            ew_spec = pl.BlockSpec((1, nbp, 16, AA, CC),
+                                   lambda b: (b, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            main_in, main_specs = tuple(ewps), (ew_spec,) * h
         nbt = min(-(-t_hi // g_step), pbw.shape[-1])
-        ew_spec = pl.BlockSpec((1, nbp, 16, AA, CC),
-                               lambda b: (b, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
         if pbw.ndim == 2:
             pbw_in = pbw[:nbp, :nbt].astype(jnp.int32)[None]
             pbw_spec = pl.BlockSpec((1, nbp, nbt), lambda b: (0, 0, 0),
@@ -434,13 +505,15 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
                           g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
-                          transpose_impl=transpose_impl),
+                          transpose_impl=transpose_impl,
+                          codes_mode=codes is not None, gp=gp,
+                          interp=interpret),
         grid=(B,),
         out_shape=(
             jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16),
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
-        in_specs=[ew_spec] * h + list(extra_specs) + [
+        in_specs=list(main_specs) + list(extra_specs) + [
             pl.BlockSpec((1, h, R, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
@@ -454,13 +527,15 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        # block VMEM is ~NBT*2MB ewp (or ~nbp*3MB bf16 H) + ~1MB rest; with
+        scratch_shapes=scratch_shapes,
+        # block VMEM is ~NBT*2MB ewp (or ~nbp*3MB bf16 H, or the ~10.5MB
+        # bf16 histogram scratch in codes mode) + ~1MB rest; with
         # double-buffering, the in-kernel mixed tables (h * 1MB) and loop
         # temporaries the scoped need stays well under the chip's VMEM
         # (v5e: 128MB).  Raise the 16MB default limit.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(*ewps, *extra_in, eligp, score0, jnp.asarray(_natmaps(k)))
+    )(*main_in, *extra_in, eligp, score0, jnp.asarray(_natmaps(k)))
     ends = meta[:, 0, :nT]
     endok = (meta[:, 1, :nT] != 0) & have_src[:, None]
     return bpp, ends, endok

@@ -74,16 +74,20 @@ def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "scan"
 
     if impl.startswith("cyc"):
-        layout = "phases_h" if pbw is not None else "phases"
+        if pbw is not None:
+            layout = "phases_h" if impl.startswith("cyc_hbm") else "codes"
+        else:
+            layout = "phases"
     else:
         layout = "natural"
     j_tables = jax.jit(lambda *a: cs._build_tables(
         *a, pbw, k=k, t_hi=t_hi, pos_bin=cfg.pos_bin, edges_layout=layout))
-    dp_pbw = pbw if layout == "phases_h" else None
+    dp_pbw = pbw if layout in ("phases_h", "codes") else None
     def _dp_arrays(e, s, n):
         (_tag, bps), ends, endok = cs._dp(e, s, n, k=k, t_lo=t_lo,
                                           t_hi=t_hi, g_step=g_step,
-                                          dp_impl=impl, pbw=dp_pbw)
+                                          dp_impl=impl, pbw=dp_pbw,
+                                          edges_layout=layout)
         return bps, ends, endok
     j_dp = jax.jit(_dp_arrays)
     if impl.startswith("cyc"):

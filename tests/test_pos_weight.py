@@ -81,7 +81,10 @@ def test_weighted_oracle_equals_device_scan():
             assert np.array_equal(wv, gv), i
 
 
-def test_weighted_scan_equals_cyc_interpret():
+@pytest.mark.parametrize("impl", ["cyc_interpret", "cyc_hbm_interpret"])
+def test_weighted_scan_equals_cyc_interpret(impl):
+    """cyc_interpret = production codes layout (in-kernel MXU histograms);
+    cyc_hbm_interpret = the phases_h ablation (XLA-built histogram tables)."""
     from daccord_tpu.ops.consensus_step import consensus_step
     rng = np.random.default_rng(5)
     piles = _random_piles(6, 9, rng)
@@ -92,7 +95,49 @@ def test_weighted_scan_equals_cyc_interpret():
     pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], np.int32)
     kw = dict(k=CFG.k, w=CFG.w, path_delta=CFG.path_delta, e_q6=e_q6_of(CFG))
     a = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl="scan", **kw)
+    b = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl=impl, **kw)
+    for name in ("ok", "length", "bases", "cost"):
+        assert np.array_equal(np.asarray(getattr(a, name)),
+                              np.asarray(getattr(b, name))), name
+
+
+def test_weighted_cyc_deep_pile_f32_scratch():
+    """Deep piles push D1*pos_bin past 256, flipping the in-kernel histogram
+    scratch to f32 (bf16 would round counts > 256); equality must hold."""
+    from daccord_tpu.ops.consensus_step import consensus_step
+    rng = np.random.default_rng(23)
+    piles = _random_piles(2, 32, rng)          # D1 = 33 -> gp = 384 > 256
+    S, slen, nstr = pack_windows(piles, CFG)
+    assert S.shape[1] * CFG.pos_bin > 256
+    ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], np.int32)
+    pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], np.int32)
+    kw = dict(k=CFG.k, w=CFG.w, path_delta=CFG.path_delta, e_q6=e_q6_of(CFG))
+    a = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl="scan", **kw)
     b = consensus_step(S, slen, nstr, ps, pk, PBW, dp_impl="cyc_interpret",
+                       **kw)
+    for name in ("ok", "length", "bases", "cost"):
+        assert np.array_equal(np.asarray(getattr(a, name)),
+                              np.asarray(getattr(b, name))), name
+
+
+def test_weighted_cyc_per_window_pbw():
+    """Mixed table groups ship a PER-WINDOW pbw stack [B, NB, NB]
+    (runner.py eprof-v2 path); the cyc kernel reads its SMEM block
+    per-window and must match the scan path window-for-window."""
+    from daccord_tpu.ops.consensus_step import consensus_step
+    rng = np.random.default_rng(29)
+    piles = _random_piles(5, 9, rng)
+    S, slen, nstr = pack_windows(piles, CFG)
+    B = S.shape[0]
+    prof2 = ErrorProfile(0.05, 0.11, 0.06)
+    pbw_b = np.stack([PBW if i % 2 == 0 else build_pbw(prof2, CFG)
+                      for i in range(B)])
+    assert not np.array_equal(pbw_b[0], pbw_b[1])
+    ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], np.int32)
+    pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], np.int32)
+    kw = dict(k=CFG.k, w=CFG.w, path_delta=CFG.path_delta, e_q6=e_q6_of(CFG))
+    a = consensus_step(S, slen, nstr, ps, pk, pbw_b, dp_impl="scan", **kw)
+    b = consensus_step(S, slen, nstr, ps, pk, pbw_b, dp_impl="cyc_interpret",
                        **kw)
     for name in ("ok", "length", "bases", "cost"):
         assert np.array_equal(np.asarray(getattr(a, name)),
