@@ -78,23 +78,43 @@ def trace_block_bounds(abpos: int, aepos: int, tspace: int) -> np.ndarray:
     return np.concatenate([[abpos], inner, [aepos]])
 
 
+def _write_record(f, o: Overlap, small: bool) -> None:
+    tr = np.asarray(o.trace, dtype=np.int64).reshape(-1, 2)
+    flat = tr.reshape(-1)
+    tlen = flat.size
+    f.write(_REC.pack(tlen, o.diffs, o.abpos, o.bbpos,
+                      o.aepos, o.bepos, o.flags, o.aread, o.bread))
+    if small:
+        if flat.size and flat.max() > 255:
+            raise ValueError("trace value exceeds u8 in small-trace regime")
+        f.write(flat.astype(np.uint8).tobytes())
+    else:
+        f.write(flat.astype("<u2").tobytes())
+
+
 def write_las(path: str, tspace: int, overlaps: Sequence[Overlap]) -> None:
     """Write a .las file. Records must already be sorted by (aread, bread, ...)."""
     small = tspace <= 125
     with open(path, "wb") as f:
         f.write(struct.pack("<qi", len(overlaps), tspace))
         for o in overlaps:
-            tr = np.asarray(o.trace, dtype=np.int64).reshape(-1, 2)
-            flat = tr.reshape(-1)
-            tlen = flat.size
-            f.write(_REC.pack(tlen, o.diffs, o.abpos, o.bbpos,
-                              o.aepos, o.bepos, o.flags, o.aread, o.bread))
-            if small:
-                if flat.size and flat.max() > 255:
-                    raise ValueError("trace value exceeds u8 in small-trace regime")
-                f.write(flat.astype(np.uint8).tobytes())
-            else:
-                f.write(flat.astype("<u2").tobytes())
+            _write_record(f, o, small)
+
+
+def write_las_stream(path: str, tspace: int, novl: int, overlaps) -> None:
+    """Write a .las from an iterator without materializing the records
+    (the LAmerge-analog path: novl is known upfront as the sum of the
+    inputs' headers).  Raises if the iterator yields != novl records —
+    the header would otherwise lie about the record count."""
+    small = tspace <= 125
+    n = 0
+    with open(path, "wb") as f:
+        f.write(struct.pack("<qi", novl, tspace))
+        for o in overlaps:
+            _write_record(f, o, small)
+            n += 1
+    if n != novl:
+        raise ValueError(f"writer promised novl={novl} but got {n} records")
 
 
 @dataclass

@@ -282,3 +282,54 @@ def test_lascheck_passes_and_catches(dataset, tmp_path):
     errs = check_las(bad3, dbf)
     assert errs
     assert lascheck_main([bad1, db]) == 1
+
+
+def test_lassort_lasmerge_roundtrip(dataset, tmp_path):
+    """lassort restores pile order from a shuffled .las; lasmerge rebuilds
+    the original file byte-for-byte from sorted per-part splits (the
+    LAsort/LAmerge analog pair the pile loader's sorted-input contract
+    points users at)."""
+    from daccord_tpu.formats.las import write_las
+    from daccord_tpu.tools.lascheck import check_las
+    from daccord_tpu.tools.lasmerge import main as merge_main
+    from daccord_tpu.tools.lassort import main as sort_main
+
+    ds, db, las, d = dataset
+    dbf = DazzlerDB.open(db)
+    lf = LasFile.open(las)
+    recs = list(lf)
+
+    # shuffle, sort back, re-check
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(len(recs))
+    shuffled = str(tmp_path / "shuffled.las")
+    write_las(shuffled, lf.tspace, [recs[i] for i in perm])
+    # the indexer refuses split aread groups on the shuffled file
+    with pytest.raises(ValueError):
+        LasFile.open(shuffled).build_index()
+    sorted_las = str(tmp_path / "sorted.las")
+    assert sort_main([sorted_las, shuffled]) == 0
+    assert check_las(sorted_las, dbf) == []
+    # piles must be reachable again and non-empty for a covered read
+    areads = LasFile.open(sorted_las).areads()
+    assert len(LasFile.open(sorted_las).pile(int(areads[0]))) > 0
+
+    # split by aread parity (each part sorted), merge -> original bytes
+    even = [o for o in recs if o.aread % 2 == 0]
+    odd = [o for o in recs if o.aread % 2 == 1]
+    assert even and odd
+    p1, p2 = str(tmp_path / "p1.las"), str(tmp_path / "p2.las")
+    write_las(p1, lf.tspace, even)
+    write_las(p2, lf.tspace, odd)
+    merged = str(tmp_path / "merged.las")
+    assert merge_main([merged, p1, p2]) == 0
+    assert open(merged, "rb").read() == open(las, "rb").read()
+
+    # unsorted input is refused with a pointer at lassort
+    with pytest.raises(ValueError, match="lassort"):
+        merge_main([str(tmp_path / "x.las"), shuffled, p1])
+
+    # mixed tspace is refused
+    other = str(tmp_path / "ts.las")
+    write_las(other, lf.tspace + 1000, even)
+    assert merge_main([str(tmp_path / "y.las"), p1, other]) == 1
