@@ -15,6 +15,23 @@ Pinned rule [PINNED-HERE, reference-shaped]:
   pass 2: keep an alignment iff its MAX window rate <= mean + sigma*std
           (``--sigma``, default 3.0) and its global rate <= ``-e`` when
           given.  Deterministic; fully vectorized over (alignment, block).
+
+With ``-E <eprof.json>`` (the artifact ``daccord -E`` estimates and saves —
+ONE fitted error distribution shared across the toolchain), the expected
+window-rate distribution comes from the profile instead of the file-local
+fit: mu = 2*(e_sub+e_ins+e_del) (the profile stores halved per-read rates;
+trace diffs count both reads' errors), per-window std = binomial
+sqrt(mu*(1-mu)/span).  Keep iff every window's z-score <= sigma.  This
+avoids contaminating the fit with the very outliers being filtered, and
+gives short alignments the wider tolerance their smaller spans warrant.
+
+Diff-domain calibration [PINNED-HERE]: recorded trace diffs depend on the
+producer's aligner (daligner's are near-minimal edit ops, matching eprof's
+realignment domain; our simulator's are composition-exact and run ~1.2x
+higher).  mu is therefore scaled by clip(median(window rates)/mu, 0.5, 2)
+before cutting — the ROBUST location (median is immune to the outlier tail
+being filtered) absorbs the convention constant while the artifact keeps
+supplying the distribution used for the span-aware tolerance.
 """
 
 from __future__ import annotations
@@ -81,6 +98,45 @@ def window_rates(diffs: np.ndarray, spans: np.ndarray, valid: np.ndarray,
     return maxr, flat
 
 
+def window_zscores(diffs: np.ndarray, spans: np.ndarray, valid: np.ndarray,
+                   nw: int, mu: float) -> np.ndarray:
+    """Max over windows of (rate - mu) / sqrt(mu*(1-mu)/span): the
+    profile-driven (-E) variant of the pass-2 statistic.  Same windowing
+    as window_rates; the binomial std gives each window a span-correct
+    tolerance instead of one file-global std."""
+    N, BMAX = diffs.shape
+    d = np.where(valid, diffs, 0)
+    s = np.where(valid, spans, 0)
+    cd = np.concatenate([np.zeros((N, 1), np.int64), np.cumsum(d, 1)], 1)
+    cs = np.concatenate([np.zeros((N, 1), np.int64), np.cumsum(s, 1)], 1)
+    nb = valid.sum(axis=1)
+    nww = np.minimum(np.maximum(nb, 1), nw)
+    var1 = max(mu * (1.0 - mu), 1e-12)           # per-base rate variance
+    maxz = np.full(N, -np.inf, dtype=np.float64)
+    for w in np.unique(nww):
+        rows = np.nonzero(nww == w)[0]
+        if not len(rows):
+            continue
+        J = BMAX - w + 1
+        wd = cd[rows, w:w + J] - cd[rows, 0:J]
+        ws = cs[rows, w:w + J] - cs[rows, 0:J]
+        ok = ((np.arange(J)[None, :] + w) <= nb[rows][:, None]) & (ws > 0)
+        r = wd / np.maximum(ws, 1)
+        z = (r - mu) / np.sqrt(var1 / np.maximum(ws, 1))
+        maxz[rows] = np.where(ok, z, -np.inf).max(axis=1)
+    return maxz
+
+
+def profile_mu(path: str) -> float:
+    """Expected pairwise diff rate from a ``-E`` eprof artifact (v1 scalar
+    or v2 positional; rates there are halved per-read rates, ALGORITHM §7)."""
+    from daccord_tpu.oracle.eprof import ErrorProfile, load_profile
+    prof = load_profile(path)
+    if not isinstance(prof, ErrorProfile):
+        prof = prof.scalar()
+    return 2.0 * (prof.e_sub + prof.e_ins + prof.e_del)
+
+
 def global_rates(diffs: np.ndarray, spans: np.ndarray,
                  valid: np.ndarray) -> np.ndarray:
     d = np.where(valid, diffs, 0).sum(axis=1)
@@ -99,23 +155,37 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="trace blocks per error window")
     p.add_argument("-e", type=float, default=None,
                    help="absolute max global error rate")
+    p.add_argument("-E", dest="eprof", default=None,
+                   help="eprof artifact (from daccord -E): derive the "
+                        "expected window-rate distribution from the shared "
+                        "profile instead of the file-local fit")
     args = p.parse_args(argv)
 
     las = LasFile.open(args.in_las)
     diffs, spans, valid = block_tables(las)              # pass 1
-    maxr, flat = window_rates(diffs, spans, valid, args.nw)
-    if len(flat):
-        cut = float(flat.mean()) + args.sigma * float(flat.std())
+    if args.eprof is not None:
+        mu0 = profile_mu(args.eprof)
+        _, flat = window_rates(diffs, spans, valid, args.nw)
+        cal = (float(np.clip(np.median(flat) / max(mu0, 1e-9), 0.5, 2.0))
+               if len(flat) else 1.0)
+        mu = cal * mu0
+        maxz = window_zscores(diffs, spans, valid, args.nw, mu)
+        keep = maxz <= args.sigma                        # pass 2
+        desc = f"eprof mu={mu0:.4f} cal={cal:.3f}"
     else:
-        cut = 1.0
-
-    keep = maxr <= cut                                   # pass 2
+        maxr, flat = window_rates(diffs, spans, valid, args.nw)
+        if len(flat):
+            cut = float(flat.mean()) + args.sigma * float(flat.std())
+        else:
+            cut = 1.0
+        keep = maxr <= cut                               # pass 2
+        desc = f"window cut={cut:.4f}"
     if args.e is not None:
         keep &= global_rates(diffs, spans, valid) <= args.e
     kept = [o for i, o in enumerate(las) if keep[i]]
     write_las(args.out_las, las.tspace, kept)
     print(f"[lasfilteralignments] kept {len(kept)}/{las.novl} "
-          f"(window cut={cut:.4f}, nw={args.nw})", file=sys.stderr)
+          f"({desc}, nw={args.nw})", file=sys.stderr)
     return 0
 
 

@@ -333,3 +333,56 @@ def test_lassort_lasmerge_roundtrip(dataset, tmp_path):
     other = str(tmp_path / "ts.las")
     write_las(other, lf.tspace + 1000, even)
     assert merge_main([str(tmp_path / "y.las"), p1, other]) == 1
+
+
+def test_lasfilteralignments_eprof_shared_distribution(tmp_path):
+    """-E mode: the cut derives from the SAME eprof artifact daccord -E
+    saves (one fitted distribution across the toolchain).  The spurious
+    repeat-flank record is dropped, true overlaps at the profile's rate are
+    kept — including a SHORT alignment whose small span needs the
+    binomial (span-aware) tolerance."""
+    import json
+    import numpy as np
+    from daccord_tpu.formats.las import LasFile, Overlap, write_las
+    from daccord_tpu.tools.lasfilteralignments import main, profile_mu
+
+    tspace = 100
+    rng = np.random.default_rng(3)
+
+    def mk(aread, bread, blocks):
+        nb = len(blocks)
+        trace = np.stack([np.asarray(blocks, np.int64),
+                          np.full(nb, tspace, np.int64)], axis=1)
+        return Overlap(aread=aread, bread=bread, flags=0, abpos=0,
+                       aepos=nb * tspace, bbpos=0, bepos=nb * tspace,
+                       diffs=int(sum(blocks)), trace=trace)
+
+    # profile says ~10% pairwise diffs (halved per-read rates sum to 0.05)
+    eprof = str(tmp_path / "eprof.json")
+    json.dump({"e_sub": 0.01, "e_ins": 0.03, "e_del": 0.01, "n_bases": 10000},
+              open(eprof, "w"))
+    assert abs(profile_mu(eprof) - 0.10) < 1e-12
+
+    ovls = []
+    for i in range(20):                      # true overlaps at ~10%
+        blocks = 10 + rng.integers(-2, 3, size=30)
+        ovls.append(mk(0, 1 + i, np.maximum(blocks, 1)))
+    # short true overlap: 2 blocks at 13% (3-sigma over span 200 is ~16%)
+    ovls.append(mk(0, 50, [13, 13]))
+    # spurious: repeat core at profile rate, flanks at 60%
+    ovls.append(mk(0, 99, [60, 60, 60] + [10] * 27))
+    src = str(tmp_path / "in.las")
+    write_las(src, tspace, ovls)
+
+    out = str(tmp_path / "out.las")
+    assert main([out, src, "-E", eprof]) == 0
+    kept = {o.bread for o in LasFile.open(out)}
+    assert 99 not in kept, "profile-driven cut must drop the spurious"
+    assert 50 in kept, "short alignment within binomial tolerance kept"
+    assert len(kept) == 21, "every true overlap kept"
+
+    # v2 positional artifacts are accepted via their scalar summary
+    json.dump({"version": 2, "e_sub": [0.01] * 10, "e_ins": [0.03] * 10,
+               "e_del": [0.01] * 10, "n_bases": [1000] * 10},
+              open(eprof, "w"))
+    assert abs(profile_mu(eprof) - 0.10) < 1e-12
