@@ -309,13 +309,18 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
             ewps, codes = None, edges
         else:
             ewps, codes = edges, None
+        # traceback fuses into the kernel (backpointers never leave VMEM)
+        # unless the 'xtb' ablation (XLA-side traceback) is requested or
+        # t_hi won't fit the candidate block
+        fuse_tb = "xtb" not in dp_impl and k + t_hi <= 128
         bpp, ends, endok = cyc_dbg_dp(
             ewps, src, snk, pbw, codes,
             k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
-            transpose_impl="mxu" if "mxu" in dp_impl else "xlu")
-        return ("cyc", bpp), ends, endok
+            transpose_impl="mxu" if "mxu" in dp_impl else "xlu",
+            fuse_tb=fuse_tb)
+        return ("cyc_fused" if fuse_tb else "cyc", bpp), ends, endok
     ecnb = edges
     NBT = ecnb.shape[1]
 
@@ -460,6 +465,22 @@ def _finish_traceback(v, bases, *, k: int, t_lo: int, t_hi: int):
                      axis=-1).astype(jnp.uint8)              # [B,nT,k]
     cands = jnp.concatenate([head, bases], axis=-1)          # [B,nT,k+t_hi]
     lc = (k + Ts).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)  # [B,nT]
+    cpos = jnp.arange(LC, dtype=jnp.int32)[None, None, :]
+    cands = jnp.where(cpos < lc[:, :, None], cands, PAD).astype(jnp.uint8)
+    return cands, lc
+
+
+def _finish_traceback_fused(tb: jnp.ndarray, *, k: int, t_lo: int,
+                            t_hi: int):
+    """Stage 3 for the kernel-fused traceback: the cyc kernel already
+    decoded candidate rows (head + path bases) into tb [B, 128, 128] u8;
+    only the slice and the length mask remain."""
+    B = tb.shape[0]
+    nT = t_hi - t_lo + 1
+    LC = k + t_hi
+    Ts = jnp.arange(t_lo, t_hi + 1, dtype=jnp.int32)[None, :]
+    cands = tb[:, :nT, :LC]
+    lc = (k + Ts).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
     cpos = jnp.arange(LC, dtype=jnp.int32)[None, None, :]
     cands = jnp.where(cpos < lc[:, :, None], cands, PAD).astype(jnp.uint8)
     return cands, lc
@@ -692,7 +713,9 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         evalid = ((pos2[None, None, :] + k + 1 <= slen[:, :, None])
                   & dval[:, :, None])
         endok = endok & evalid.reshape(S.shape[0], -1).any(axis=1)[:, None]
-    if bp_tag == "cyc":
+    if bp_tag == "cyc_fused":
+        cands, lc = _finish_traceback_fused(bps, k=k, t_lo=t_lo, t_hi=t_hi)
+    elif bp_tag == "cyc":
         cands, lc = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
     else:
         cands, lc = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)

@@ -233,7 +233,8 @@ def _transpose(sc, impl: str, neg: int = NEG):
 
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 nbp: int, pbw_band: int, transpose_impl: str,
-                codes_mode: bool = False, gp: int = 0, interp: bool = False):
+                codes_mode: bool = False, gp: int = 0, interp: bool = False,
+                fuse_tb: bool = False):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
     at step-bin boundaries — the XLA mix materializes its f32 dot output to
@@ -255,23 +256,43 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
       [h, nbp, 4^(s), 4^(k+1-s)]): H[ph][n] = ohr @ ohc^T with 0/1 bf16
       operands and f32 accumulation — exact for any count < 2^24, and equal
       to the XLA einsum bin-for-bin.  This removes the histogram HBM
-      round-trip entirely (the largest input stream of the step)."""
+      round-trip entirely (the largest input stream of the step).
+
+    fuse_tb=True additionally runs the CANDIDATE TRACEBACK in-kernel after
+    the DP loop: backpointer groups live in VMEM scratch (never written to
+    HBM — the XLA traceback re-read the [B, nG, R, C] tensor across ~t_hi
+    sequential dispatches), per-step byte lookups are one-hot MXU row
+    selects over [128(T-lane), R] x [R, C], and the kernel emits the decoded
+    candidate base rows directly (bpp_ref becomes the [1, 128, 128] u8
+    candidate block: sublane = T - t_lo, col = candidate position, head
+    k-mer included; consensus_step applies only the length mask)."""
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     h = k // 2
     mix = nbp > 0
     if codes_mode:
         assert mix
         rows_ref, cols_ref, pbw_ref = refs[0], refs[1], refs[2]
-        (eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
-         hscr_ref) = refs[3:]
+        rest = refs[3:]
         ewp_refs = None
     elif mix:
         ewp_refs = refs[:h]
         pbw_ref = refs[h]
-        eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h + 1:]
+        rest = refs[h + 1:]
     else:
         ewp_refs = refs[:h]
-        eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = refs[h:]
+        rest = refs[h:]
+    if fuse_tb:
+        # backpointers live in the trailing scratch ref, not an output
+        eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest[:5]
+        bps_scr = rest[-1]
+        if codes_mode:
+            hscr_ref = rest[5]
+    else:
+        if codes_mode:
+            (eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
+             hscr_ref) = rest
+        else:
+            eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = pl.cdiv(t_hi, gsz)
@@ -314,6 +335,12 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     else:
         negs, neghs, key_t = NEG, NEG_HALF, NEG_HALF
     bp_acc = None
+    if fuse_tb:
+        # endv[s] accumulates the end state of candidate T = t_lo + s
+        # (sublane-major so the traceback's one-hot row builds need no
+        # transposes); validity stays in meta row 1 as before
+        subl = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        endv = jnp.zeros((128, 1), jnp.int32)
 
     for tt in range(1, t_hi + 1):
         jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
@@ -389,9 +416,12 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         bp_acc = bp_acc | (bpn << (2 * field))
 
         if field == gsz - 1 or tt == t_hi:
-            # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp write
-            # traffic (and the XLA-side traceback's convert)
-            bpp_ref[0, g] = bp_acc.astype(jnp.int16)
+            if fuse_tb:
+                bps_scr[g] = bp_acc                  # VMEM only, i32
+            else:
+                # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp
+                # write traffic (and the XLA-side traceback's convert)
+                bpp_ref[0, g] = bp_acc.astype(jnp.int16)
 
         if tt >= t_lo:
             nat = natp_ref[q % h]
@@ -406,18 +436,70 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             meta_ref[0, 0:1, :] = jnp.where(sel, endnat, meta_ref[0, 0:1, :])
             meta_ref[0, 1:2, :] = jnp.where(sel, ok.astype(jnp.int32),
                                             meta_ref[0, 1:2, :])
+            if fuse_tb:
+                endv = jnp.where(subl == (tt - t_lo), endnat, endv)
+
+    if fuse_tb:
+        # ---- in-kernel traceback (see docstring).  All state is
+        # sublane-major [128, 1] (sublane s = candidate T - t_lo); byte
+        # lookups are one-hot dots against the VMEM backpointer groups.
+        # Semantics identical to consensus_step._traceback_cyc.
+        std_o, tr_o = _orders(k)
+        odt2 = jnp.float32 if interp else jnp.bfloat16
+        Rr, Cc = bps_scr.shape[-2], bps_scr.shape[-1]
+        riota2 = jax.lax.broadcasted_iota(jnp.int32, (128, Rr), 1)
+        ciota2 = jax.lax.broadcasted_iota(jnp.int32, (128, Cc), 1)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        v = endv
+        acc = jnp.zeros((128, 128), jnp.int32)
+        for tt in range(t_hi, 0, -1):
+            q = (k - tt) % k
+            std = q >= h
+            g, field = divmod(tt - 1, gsz)
+            order = std_o if std else tr_o
+            ncol = h if std else k - h
+            phys = jnp.zeros_like(v)
+            for p, s2 in enumerate(order):
+                i = (s2 - q) % k
+                phys = phys | (((v >> (2 * i)) & 3) << (2 * (k - 1 - p)))
+            r = phys >> (2 * ncol)
+            c = phys & ((1 << (2 * ncol)) - 1)
+            # group bytes < 2^(2*gsz) <= 256 are bf16-exact; one-hot
+            # products/sums exact in f32
+            ohr = (riota2 == r).astype(odt2)                 # [128, R]
+            rows2 = jax.lax.dot_general(
+                ohr, bps_scr[g].astype(odt2), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [128, C]
+            ohc = (ciota2 == c).astype(jnp.float32)
+            byte = jnp.sum(rows2 * ohc, axis=1,
+                           keepdims=True).astype(jnp.int32)  # [128, 1]
+            cc2 = (byte >> (2 * field)) & 3
+            act = subl >= (tt - t_lo)                        # tt <= T
+            base = jnp.where(act, v & 3, 0)
+            acc = jnp.where(colio == (k + tt - 1), base, acc)
+            v = jnp.where(act, cc2 * (4 ** (k - 1)) + (v >> 2), v)
+        for i in range(k):                                   # source head
+            acc = jnp.where(colio == i, (v >> (2 * (k - 1 - i))) & 3, acc)
+        bpp_ref[0] = acc.astype(bpp_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "pbw_band", "interpret",
-                                             "transpose_impl"))
+                                             "transpose_impl", "fuse_tb"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
-               interpret: bool = False, transpose_impl: str = "xlu"):
-    """(bpp [B, nG, R, C] u8 2-bit-packed, ends [B, nT] i32 NATURAL,
-    endok [B, nT] bool).
+               interpret: bool = False, transpose_impl: str = "xlu",
+               fuse_tb: bool = False):
+    """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
+    ends [B, nT] i32 NATURAL, endok [B, nT] bool).
+
+    fuse_tb=True (production): the traceback runs IN-KERNEL (backpointers
+    stay in VMEM scratch, never reaching HBM) and the first return value is
+    instead tb [B, 128, 128] u8 — decoded candidate rows (sublane = T -
+    t_lo, columns [0, k+T) = head k-mer then path bases; only the length
+    mask remains for the caller).  Requires k + t_hi <= 128.
 
     ewps: tuple of h = k//2 phase tables.  With pbw=None: uint16 packed-key
     tables [B, NBT, 16, 4^(k-1-h), 4^h] (consensus_step._build_tables
@@ -502,15 +584,26 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                                    ).reshape(B, R, C)
 
     band = nbp if pbw_band < 0 else pbw_band
+    if fuse_tb:
+        assert k + t_hi <= 128, "fused traceback needs k + t_hi <= 128"
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM((nG, R, C), jnp.int32)]
+        out0_shape = jax.ShapeDtypeStruct((B, 128, 128), jnp.uint8)
+        out0_spec = pl.BlockSpec((1, 128, 128), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out0_shape = jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16)
+        out0_spec = pl.BlockSpec((1, nG, R, C), lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
                           g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
                           transpose_impl=transpose_impl,
                           codes_mode=codes is not None, gp=gp,
-                          interp=interpret),
+                          interp=interpret, fuse_tb=fuse_tb),
         grid=(B,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16),
+            out0_shape,
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
         in_specs=list(main_specs) + list(extra_specs) + [
@@ -522,8 +615,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, nG, R, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            out0_spec,
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),

@@ -90,7 +90,12 @@ def main():
                                           edges_layout=layout)
         return bps, ends, endok
     j_dp = jax.jit(_dp_arrays)
-    if impl.startswith("cyc"):
+    fused = impl.startswith("cyc") and "xtb" not in impl and k + t_hi <= 128
+    if fused:
+        # traceback runs inside the DP kernel; only the length mask remains
+        j_tb = jax.jit(lambda b, e: cs._finish_traceback_fused(
+            b, k=k, t_lo=t_lo, t_hi=t_hi))
+    elif impl.startswith("cyc"):
         j_tb = jax.jit(lambda b, e: cs._traceback_cyc(
             b, e, k=k, t_lo=t_lo, t_hi=t_hi))
     else:

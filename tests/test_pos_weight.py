@@ -81,10 +81,13 @@ def test_weighted_oracle_equals_device_scan():
             assert np.array_equal(wv, gv), i
 
 
-@pytest.mark.parametrize("impl", ["cyc_interpret", "cyc_hbm_interpret"])
+@pytest.mark.parametrize("impl", ["cyc_interpret", "cyc_hbm_interpret",
+                                  "cyc_xtb_interpret"])
 def test_weighted_scan_equals_cyc_interpret(impl):
-    """cyc_interpret = production codes layout (in-kernel MXU histograms);
-    cyc_hbm_interpret = the phases_h ablation (XLA-built histogram tables)."""
+    """cyc_interpret = production codes layout (in-kernel MXU histograms +
+    fused in-kernel traceback); cyc_hbm_interpret = the phases_h ablation
+    (XLA-built histogram tables); cyc_xtb_interpret = the XLA-traceback
+    ablation (backpointers written to HBM)."""
     from daccord_tpu.ops.consensus_step import consensus_step
     rng = np.random.default_rng(5)
     piles = _random_piles(6, 9, rng)
