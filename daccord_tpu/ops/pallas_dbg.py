@@ -1,5 +1,12 @@
 """Pallas TPU kernel: heaviest-path max-plus DP with VMEM-resident edges.
 
+SUPERSEDED (kept as the documented design ancestor): production uses
+ops/pallas_dbg_cyc.py, whose cycling-digit addressing removes the per-step
+relabel that blocks this kernel from lowering on Mosaic (see STATUS at the
+bottom of this file); this module still runs bit-exact in interpret mode
+and pins the intermediate design point between the XLA scan and the cyc
+kernel (tests/test_pallas_dbg.py).
+
 One grid program per window: the window's edge-count tensor ew16 [4,4,M1]
 (~512KB) is DMA'd to VMEM ONCE and all t_hi DP steps run against it there —
 the XLA scan version re-reads it from HBM every step (36x the traffic, and

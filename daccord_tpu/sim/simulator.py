@@ -136,6 +136,32 @@ def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int):
     return a_t.astype(np.int64), b_t.astype(np.int64), abpos, bbpos
 
 
+def truth_segment(ds: SimDataset, aread: int, astart: int, aend: int
+                  ) -> np.ndarray:
+    """Ground-truth genome bases underlying stored-read interval
+    ``[astart, aend)`` of read ``aread``, in the read's orientation.
+
+    This is the accuracy oracle for corrected output: a perfect corrector
+    would emit exactly this segment for a fragment spanning
+    ``A[astart:aend]``.  The mapping inverts the read's E-frame g2r table
+    (g2r[i] = errorful-read bases consumed before genome offset i) and, for
+    reverse-strand reads, flips both the read coordinates and the genome
+    into the stored (reverse-complemented) frame.
+    """
+    read = ds.reads[aread]
+    g = ds.genome if read.strand == 0 else (3 - ds.genome[::-1]).astype(np.uint8)
+    if read.strand == 0:
+        r0, r1 = astart, aend
+    else:
+        r0, r1 = read.rlen - aend, read.rlen - astart
+    i0, i1 = np.searchsorted(read.g2r, [r0, r1], side="left")
+    lo, hi = read.gstart + int(i0), read.gstart + int(i1)
+    if read.strand == 0:
+        return g[lo:hi]
+    G = len(g)
+    return g[G - hi:G - lo]
+
+
 def simulate(cfg: SimConfig) -> SimDataset:
     rng = np.random.Generator(np.random.PCG64(cfg.seed))
     genome = rng.integers(0, 4, size=cfg.genome_len).astype(np.uint8)

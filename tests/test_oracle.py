@@ -151,21 +151,12 @@ def test_end_to_end_correction_improves_reads(dataset):
         aread = int(aread)
         if aend - astart < 200:
             continue
-        read = ds.reads[aread]
         A = db.read_codes(aread)
-        corrected = np.frombuffer(seq.encode(), dtype=np.uint8)
         from daccord_tpu.formats.dazzler_db import str_to_codes
+        from daccord_tpu.sim.simulator import truth_segment
         corrected = str_to_codes(seq)
         # truth segment: genome bases under A[astart:aend]
-        g = ds.genome if read.strand == 0 else (3 - ds.genome[::-1]).astype(np.uint8)
-        # map A positions to oriented-genome via g2r inverse
-        r2g = np.searchsorted(read.g2r, [astart, aend], side="left")
-        if read.strand == 0:
-            truth = g[read.gstart + r2g[0]:read.gstart + r2g[1]]
-        else:
-            glen = read.gend - read.gstart
-            s0, s1 = glen - r2g[1], glen - r2g[0]
-            truth = g[len(g) - read.gend + s0:len(g) - read.gend + s1]
+        truth = truth_segment(ds, aread, astart, aend)
         if len(truth) < 100:
             continue
         d_raw, _ = traceback_bpos(A[astart:aend], truth)
