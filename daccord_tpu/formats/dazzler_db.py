@@ -179,6 +179,96 @@ def write_db(db_path: str, reads: Sequence[np.ndarray], fasta_name: str = "reads
         f.write(f"  {n:9d} {fasta_name} {prolog}\n")
 
 
+DB_BEST = 0x2  # HITS_READ flag: best read of its well (DAZZ_DB DB.h
+#                [UNCERTAIN bit value per SURVEY A.1 — pinned here; only
+#                consulted when the stub's `all` field is 0])
+
+
+@dataclass
+class DbStub:
+    """Parsed ``NAME.db`` text stub (SURVEY A.1).
+
+    ``blocks`` is None for an unsplit DB; after a DBsplit-analog run it
+    holds the (M+1) block boundary pairs ``(ufirst, tfirst)`` — untrimmed /
+    trimmed first-read index per block, mirroring DAZZ_DB's stub grammar:
+
+        files =         <F>
+              <nreads_cum> <fasta> <prolog>     x F
+        blocks =        <M>
+        size =  <bsize> cutoff =  <cutoff> all = <0|1>
+             <ufirst> <tfirst>                  x (M+1)
+    """
+
+    files: List[tuple]            # (nreads_cum, fasta_name, prolog)
+    bsize: int = 0                # block size in bases (0 = unsplit)
+    cutoff: int = 0               # trim reads shorter than this
+    allflag: int = 1              # 0 = keep only DB_BEST reads
+    blocks: Optional[List[tuple]] = None   # [(ufirst, tfirst)] x (M+1)
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.blocks) - 1 if self.blocks else 0
+
+
+def parse_stub(db_path: str) -> DbStub:
+    with open(db_path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    it = iter(lines)
+    first = next(it)
+    nfiles = int(first.split("=")[1])
+    files = []
+    for _ in range(nfiles):
+        parts = next(it).split()
+        files.append((int(parts[0]), parts[1],
+                      parts[2] if len(parts) > 2 else ""))
+    stub = DbStub(files=files)
+    for ln in it:
+        if ln.startswith("blocks"):
+            nb = int(ln.split("=")[1])
+            sz = next(it).replace("=", " ").split()
+            # "size <bsize> cutoff <cutoff> all <0|1>"
+            stub.bsize = int(sz[1])
+            stub.cutoff = int(sz[3])
+            stub.allflag = int(sz[5])
+            stub.blocks = []
+            for _ in range(nb + 1):
+                u, t = next(it).split()
+                stub.blocks.append((int(u), int(t)))
+            break
+    return stub
+
+
+def write_stub(db_path: str, stub: DbStub) -> None:
+    with open(db_path, "w") as f:
+        f.write(f"files = {len(stub.files):9d}\n")
+        for ncum, name, prolog in stub.files:
+            f.write(f"  {ncum:9d} {name} {prolog}\n")
+        if stub.blocks is not None:
+            f.write(f"blocks = {stub.nblocks:9d}\n")
+            f.write(f"size = {stub.bsize:9d} cutoff = {stub.cutoff:9d} "
+                    f"all = {stub.allflag}\n")
+            for u, t in stub.blocks:
+                f.write(f" {u:9d} {t:9d}\n")
+
+
+def resolve_block(db_path: str):
+    """Split a dazzler block reference ``name.N[.db]`` -> (stub_path, N).
+
+    DAZZ_DB convention: block files do not exist on disk; tools parse the
+    trailing integer and open the parent stub (``daligner``/``daccord`` are
+    invoked per block this way).  A path whose file exists is never treated
+    as a block reference."""
+    if os.path.exists(db_path) or os.path.exists(db_path + ".db"):
+        return db_path, 0
+    base = db_path[:-3] if db_path.endswith(".db") else db_path
+    root, dot, suffix = base.rpartition(".")
+    if dot and suffix.isdigit():
+        for cand in (root + ".db", root):
+            if os.path.exists(cand):
+                return cand, int(suffix)
+    return db_path, 0
+
+
 @dataclass
 class DazzlerDB:
     """Memory-mapped dazzler DB reader (the ``DatabaseFile`` analog).
@@ -189,22 +279,67 @@ class DazzlerDB:
 
     path: str
     nreads: int
-    rlen: np.ndarray   # int32 [nreads]
+    rlen: np.ndarray   # int32 [nreads]   (trimmed-id space)
     boff: np.ndarray   # int64 [nreads]
     bps: np.ndarray    # uint8 mmap of .bps
+    # block view (`name.N` reference): restrict processing to trimmed reads
+    # [block_lo, block_hi) — read IDS stay global trimmed ids, matching the
+    # ecosystem's .las id space (daligner emits global trimmed ids)
+    block: int = 0
+    block_lo: int = 0
+    block_hi: int = 0
 
     @classmethod
     def open(cls, db_path: str) -> "DazzlerDB":
-        idx_path, bps_path = _hidden_paths(db_path)
+        """Open a DB or a block reference ``name.N``.
+
+        When the stub carries a blocks section (DBsplit analog,
+        tools/dbsplit.py), the TRIMMED database is exposed: reads shorter
+        than ``cutoff`` (and, when ``all`` = 0, reads without DB_BEST) are
+        dropped and ids renumbered — the id space daligner-produced .las
+        files reference (libmaus2 ``DatabaseFile::computeTrimmedDatabase``,
+        SURVEY §3.1)."""
+        stub_path, block = resolve_block(db_path)
+        idx_path, bps_path = _hidden_paths(stub_path)
         with open(idx_path, "rb") as f:
             hdr = f.read(HITS_DB_SIZE)
             ureads = struct.unpack_from("<i", hdr, 0)[0]
             recs = np.frombuffer(f.read(ureads * HITS_READ_SIZE),
                                  dtype=HITS_READ_DTYPE, count=ureads)
         bps = np.memmap(bps_path, dtype=np.uint8, mode="r")
-        return cls(path=db_path, nreads=ureads,
-                   rlen=recs["rlen"].astype(np.int64),
-                   boff=recs["boff"].copy(), bps=bps)
+        rlen = recs["rlen"].astype(np.int64)
+        boff = recs["boff"].copy()
+        stub = None
+        real_stub = (stub_path if stub_path.endswith(".db")
+                     else stub_path + ".db")
+        if not os.path.exists(real_stub):
+            real_stub = stub_path
+        if os.path.exists(real_stub):
+            stub = parse_stub(real_stub)
+        if stub is not None and stub.blocks is not None:
+            keep = rlen >= stub.cutoff
+            if not stub.allflag:
+                keep &= (recs["flags"] & DB_BEST) != 0
+            rlen, boff = rlen[keep], boff[keep]
+        n = len(rlen)
+        lo, hi = 0, n
+        if block:
+            if stub is None or stub.blocks is None:
+                raise ValueError(
+                    f"{db_path}: block reference but {real_stub} has no "
+                    f"blocks section (run dbsplit first)")
+            if not (1 <= block <= stub.nblocks):
+                raise ValueError(f"{db_path}: block {block} out of range "
+                                 f"1..{stub.nblocks}")
+            lo = stub.blocks[block - 1][1]
+            hi = stub.blocks[block][1]
+        return cls(path=stub_path, nreads=n, rlen=rlen, boff=boff, bps=bps,
+                   block=block, block_lo=lo, block_hi=hi)
+
+    @property
+    def block_interval(self):
+        """Trimmed-id interval of the opened block (whole DB when unsplit)."""
+        return (self.block_lo, self.block_hi)
 
     def read_codes(self, i: int) -> np.ndarray:
         """Decode read i to uint8 base codes (the DecodedReadContainer analog,

@@ -160,9 +160,17 @@ class ConsensusTables:
         return self.plq[t], self.pbw[t]
 
 
-def select_read_ids(nreads: int, cfg: DaccordConfig) -> range:
-    """-I interval then -J contiguous part (pinned split, ALGORITHM §8)."""
+def select_read_ids(db, cfg: DaccordConfig) -> range:
+    """DB-block view, then -I interval, then -J contiguous part (pinned
+    split, ALGORITHM §8).  ``db`` is a DazzlerDB (or, for unsplit callers,
+    a plain read count)."""
+    if isinstance(db, int):
+        nreads, blo, bhi = db, 0, db
+    else:
+        nreads = db.nreads
+        blo, bhi = db.block_interval if db.block else (0, nreads)
     lo, hi = (0, nreads) if cfg.I is None else (cfg.I[0], min(cfg.I[1], nreads))
+    lo, hi = max(lo, blo), max(min(hi, bhi), max(lo, blo))
     i, n = cfg.J
     length = hi - lo
     return range(lo + i * length // n, lo + (i + 1) * length // n)
@@ -185,7 +193,7 @@ def run_oracle(db_path: str, las_path: str, cfg: DaccordConfig,
     cache = ReadCache(db)
     stats = OracleStats()
     records: List[Tuple[str, str]] = []
-    for aread in select_read_ids(db.nreads, cfg):
+    for aread in select_read_ids(db, cfg):
         stats.reads += 1
         frags = correct_read(db, las, aread, cfg, None, cache, stats,
                              tables=tables)

@@ -157,7 +157,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     log = RunLog(enabled=cfg.V > 0)
 
     setup_compilation_cache()
-    read_ids = list(select_read_ids(db.nreads, cfg))
+    read_ids = list(select_read_ids(db, cfg))
     stats.reads = len(read_ids)
     nwin_per_read: List[int] = [0] * len(read_ids)
     las.build_index()  # shared, build once before threading
