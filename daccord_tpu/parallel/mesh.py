@@ -32,18 +32,28 @@ def make_mesh(n_devices: Optional[int] = None, model: int = 1) -> Mesh:
     return Mesh(devs, ("data", "model"))
 
 
-def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
+def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int,
+                      merge_collective: bool = False):
     """Jitted consensus step with the batch axis sharded over `data` and the
     (k+1)-mer edge-count / DBG tensors allowed to split over `model`.
 
     The returned callable takes (S, slen, nstr, plq_src, plq_snk, pbw);
     pass pbw=None when cfg.pos_weight is off.
+
+    merge_collective=True additionally merges the per-shard window results
+    ON DEVICE before they reach the host — ``jax.lax.all_gather`` over the
+    ``data`` axis in the shard_map path, replicated out-shardings (GSPMD
+    all-gathers) in the TP path — so every host emits FASTA from one
+    replicated tensor instead of fetching remote shards over DCN (the
+    north-star "corrected-read fragments merged with jax.lax collectives
+    before FASTA emission"; BASELINE.json, SURVEY §2.4 comm row).
     """
     shard_b3 = NamedSharding(mesh, P("data", None, None))
     shard_b2 = NamedSharding(mesh, P("data", None))
     shard_b1 = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    out_shardings = (shard_b1, shard_b1, shard_b2, shard_b1)
+    out_shardings = ((repl,) * 4 if merge_collective
+                     else (shard_b1, shard_b1, shard_b2, shard_b1))
     # TP (SURVEY §2.4): with a model axis, the (k+1)-mer edge-table axis is
     # pinned to it; GSPMD partitions the DBG tensors and inserts the
     # collectives (asserted by tests/test_parallel.py)
@@ -94,6 +104,15 @@ def sharded_consensus(mesh: Mesh, cfg: DaccordConfig, k: int):
                 body = (functools.partial(fn, pbw=None, pbw_band=band)
                         if pbw is None
                         else functools.partial(fn, pbw_band=band))
+                if merge_collective:
+                    inner = body
+
+                    def body(*a, _inner=inner):
+                        outs = _inner(*a)
+                        return tuple(
+                            jax.lax.all_gather(o, "data", axis=0, tiled=True)
+                            for o in outs)
+                    out_specs = (P(),) * 4
                 jits[key] = jax.jit(shard_map(
                     body, mesh=mesh, in_specs=tuple(in_specs),
                     out_specs=out_specs, check_rep=False))

@@ -188,7 +188,11 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         use_mesh = ndev > 1
     if use_mesh and ndev > 1 and cfg.batch_windows % ndev == 0:
         from daccord_tpu.parallel.mesh import make_mesh, sharded_consensus
-        _mesh_fn = sharded_consensus(make_mesh(), cfg, cfg.k)
+        # window results are merged ON DEVICE (all_gather over the data
+        # axis) so emission reads one replicated tensor — ICI collectives
+        # instead of per-shard DCN fetches on pods (SURVEY §2.4 comm row)
+        _mesh_fn = sharded_consensus(make_mesh(), cfg, cfg.k,
+                                     merge_collective=True)
 
         def _cstep(S, slen, nstr, ps, pk, pw, **_kw):
             return ConsensusOut(*_mesh_fn(S, slen, nstr, ps, pk, pw))
