@@ -234,7 +234,7 @@ def _transpose(sc, impl: str, neg: int = NEG):
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 nbp: int, pbw_band: int, transpose_impl: str,
                 codes_mode: bool = False, gp: int = 0, interp: bool = False,
-                fuse_tb: bool = False):
+                fuse_tb: bool = False, ablate: str = ""):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
     at step-bin boundaries — the XLA mix materializes its f32 dot output to
@@ -265,7 +265,14 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     selects over [128(T-lane), R] x [R, C], and the kernel emits the decoded
     candidate base rows directly (bpp_ref becomes the [1, 128, 128] u8
     candidate block: sublane = T - t_lo, col = candidate position, head
-    k-mer included; consensus_step applies only the length mask)."""
+    k-mer included; consensus_step applies only the length mask).
+
+    ablate: TIMING-ONLY stage removals for on-chip attribution (results
+    intentionally wrong; never set in production).  '+'-joined subset of
+    {noend: end-picking only at the last step; mix1: mixed tables built for
+    bin 0 only and reused; hist1: histograms built for position-bin 0 only;
+    notb: skip the fused traceback walk}."""
+    ab = set(ablate.split("+")) if ablate else set()
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     h = k // 2
     mix = nbp > 0
@@ -312,7 +319,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         riota = jax.lax.broadcasted_iota(jnp.int32, (NR, gp), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (CW, gp), 0)
         for ph in range(h):
-            for n in range(nbp):
+            for n in range(1 if "hist1" in ab else nbp):
                 ohr = (riota == rows_ref[0, ph, n:n + 1]).astype(odt)
                 ohc = (ciota == cols_ref[0, ph, n:n + 1]).astype(odt)
                 Hf = jax.lax.dot_general(
@@ -344,6 +351,8 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
     for tt in range(1, t_hi + 1):
         jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
+        if ab & {"mix1", "hist1"}:
+            jbin = 0
         q = (k - tt) % k
         std = q >= h
         g, field = divmod(tt - 1, gsz)
@@ -423,7 +432,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 # write traffic (and the XLA-side traceback's convert)
                 bpp_ref[0, g] = bp_acc.astype(jnp.int16)
 
-        if tt >= t_lo:
+        if tt >= t_lo and not ("noend" in ab and tt != t_hi):
             nat = natp_ref[q % h]
             eligm = eligp_ref[0, q % h] != 0
             masked = jnp.where(eligm, sc, negs)
@@ -439,7 +448,9 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             if fuse_tb:
                 endv = jnp.where(subl == (tt - t_lo), endnat, endv)
 
-    if fuse_tb:
+    if fuse_tb and "notb" in ab:
+        bpp_ref[0] = jnp.zeros_like(bpp_ref[0])
+    elif fuse_tb:
         # ---- in-kernel traceback (see docstring).  All state is
         # sublane-major [128, 1] (sublane s = candidate T - t_lo); byte
         # lookups are one-hot dots against the VMEM backpointer groups.
@@ -485,13 +496,14 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "pbw_band", "interpret",
-                                             "transpose_impl", "fuse_tb"))
+                                             "transpose_impl", "fuse_tb",
+                                             "ablate"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu",
-               fuse_tb: bool = False):
+               fuse_tb: bool = False, ablate: str = ""):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -600,7 +612,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                           g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
                           transpose_impl=transpose_impl,
                           codes_mode=codes is not None, gp=gp,
-                          interp=interpret, fuse_tb=fuse_tb),
+                          interp=interpret, fuse_tb=fuse_tb, ablate=ablate),
         grid=(B,),
         out_shape=(
             out0_shape,
