@@ -345,9 +345,15 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     if fuse_tb:
         # endv[s] accumulates the end state of candidate T = t_lo + s
         # (sublane-major so the traceback's one-hot row builds need no
-        # transposes); validity stays in meta row 1 as before
-        subl = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-        endv = jnp.zeros((128, 1), jnp.int32)
+        # transposes); validity stays in meta row 1 as before.  The walk
+        # state is padded to TT sublanes, not the full 128-row output
+        # block: TT is the candidate count nT rounded to the int8 sublane
+        # granule (32), which shrinks the one-hot row-select dots and the
+        # per-step VPU work ~4x at the bench's nT = 2*path_delta + 1 = 29.
+        nT_k = t_hi - t_lo + 1
+        TT = min(128, -(-nT_k // 32) * 32)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (TT, 1), 0)
+        endv = jnp.zeros((TT, 1), jnp.int32)
 
     for tt in range(1, t_hi + 1):
         jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
@@ -458,11 +464,11 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         std_o, tr_o = _orders(k)
         odt2 = jnp.float32 if interp else jnp.bfloat16
         Rr, Cc = bps_scr.shape[-2], bps_scr.shape[-1]
-        riota2 = jax.lax.broadcasted_iota(jnp.int32, (128, Rr), 1)
-        ciota2 = jax.lax.broadcasted_iota(jnp.int32, (128, Cc), 1)
-        colio = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        riota2 = jax.lax.broadcasted_iota(jnp.int32, (TT, Rr), 1)
+        ciota2 = jax.lax.broadcasted_iota(jnp.int32, (TT, Cc), 1)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (TT, 128), 1)
         v = endv
-        acc = jnp.zeros((128, 128), jnp.int32)
+        acc = jnp.zeros((TT, 128), jnp.int32)
         for tt in range(t_hi, 0, -1):
             q = (k - tt) % k
             std = q >= h
@@ -477,13 +483,13 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             c = phys & ((1 << (2 * ncol)) - 1)
             # group bytes < 2^(2*gsz) <= 256 are bf16-exact; one-hot
             # products/sums exact in f32
-            ohr = (riota2 == r).astype(odt2)                 # [128, R]
+            ohr = (riota2 == r).astype(odt2)                 # [TT, R]
             rows2 = jax.lax.dot_general(
                 ohr, bps_scr[g].astype(odt2), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [128, C]
+                preferred_element_type=jnp.float32)          # [TT, C]
             ohc = (ciota2 == c).astype(jnp.float32)
             byte = jnp.sum(rows2 * ohc, axis=1,
-                           keepdims=True).astype(jnp.int32)  # [128, 1]
+                           keepdims=True).astype(jnp.int32)  # [TT, 1]
             cc2 = (byte >> (2 * field)) & 3
             act = subl >= (tt - t_lo)                        # tt <= T
             base = jnp.where(act, v & 3, 0)
@@ -491,7 +497,10 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             v = jnp.where(act, cc2 * (4 ** (k - 1)) + (v >> 2), v)
         for i in range(k):                                   # source head
             acc = jnp.where(colio == i, (v >> (2 * (k - 1 - i))) & 3, acc)
-        bpp_ref[0] = acc.astype(bpp_ref.dtype)
+        # rows beyond nT are never read by the caller (slices tb[:, :nT]);
+        # TT is a multiple of the int8 sublane granule (32) so the partial
+        # write is tile-aligned.  Rows [TT, 128) stay unwritten garbage.
+        bpp_ref[0, :TT] = acc.astype(bpp_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
