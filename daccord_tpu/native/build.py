@@ -12,17 +12,18 @@ _lib = None
 _tried = False
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "realign.cpp")
+_SRCS = [os.path.join(_DIR, "realign.cpp"),
+         os.path.join(_DIR, "cpu_consensus.cpp")]
 _SO = os.path.join(_DIR, "librealign.so")
 
 
 def _build() -> bool:
     try:
-        src_m = os.path.getmtime(_SRC)
+        src_m = max(os.path.getmtime(s) for s in _SRCS)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_m:
             return True
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", _SO + ".tmp", _SRC, "-lpthread"]
+               "-o", _SO + ".tmp"] + _SRCS + ["-lpthread"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -62,6 +63,11 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.stitch_jstar_runs.restype = None
+            lib.cpu_consensus_batch.argtypes = (
+                [ctypes.c_void_p] * 7
+                + [ctypes.c_int64] * 11
+                + [ctypes.c_void_p] * 3 + [ctypes.c_int64])
+            lib.cpu_consensus_batch.restype = None
             _lib = lib
         except Exception:
             _lib = None

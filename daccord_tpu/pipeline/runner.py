@@ -95,6 +95,33 @@ def _front_half_device(db, las, cfg, read_ids):
     return [extract_rows(A, skel, cfg) for (A, pile, skel, prep) in entries]
 
 
+def emit_read(records: List[Tuple[str, str]], db, aread: int,
+              frags_in, cfg: DaccordConfig) -> int:
+    """Append one read's FASTA records (ALGORITHM §5 emission rules: -l
+    length filter, -f full-sequence fill).  Returns the fragment count.
+    Shared by the device runner, the CPU baseline runner and the streaming
+    collector so emission bytes cannot diverge."""
+    frags = [f for f in frags_in if len(f[2]) >= cfg.l]
+    if cfg.f:
+        A = db.read_codes(aread)
+        rlen = len(A)
+        full = []
+        cur = 0
+        for (astart, aend, seq) in frags:
+            if astart > cur:
+                full.append(A[cur:astart])
+            full.append(seq)
+            cur = aend
+        if cur < rlen:
+            full.append(A[cur:rlen])
+        seq = np.concatenate(full) if full else A
+        records.append((f"{aread}/0_{rlen}", codes_to_str(seq)))
+        return 1
+    for (astart, aend, seq) in frags:
+        records.append((f"{aread}/{astart}_{aend}", codes_to_str(seq)))
+    return len(frags)
+
+
 _PP: dict = {}
 
 
@@ -401,26 +428,8 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         frags_all = stitch_many(winners, cfg)
     records: List[Tuple[str, str]] = []
     for slot, aread in enumerate(read_ids):
-        frags = [f for f in frags_all[slot] if len(f[2]) >= cfg.l]
-        if cfg.f:
-            A = db.read_codes(aread)
-            rlen = len(A)
-            full = []
-            cur = 0
-            for (astart, aend, seq) in frags:
-                if astart > cur:
-                    full.append(A[cur:astart])
-                full.append(seq)
-                cur = aend
-            if cur < rlen:
-                full.append(A[cur:rlen])
-            seq = np.concatenate(full) if full else A
-            records.append((f"{aread}/0_{rlen}", codes_to_str(seq)))
-            stats.fragments += 1
-        else:
-            for (astart, aend, seq) in frags:
-                records.append((f"{aread}/{astart}_{aend}", codes_to_str(seq)))
-                stats.fragments += 1
+        n = emit_read(records, db, aread, frags_all[slot], cfg)
+        stats.fragments += n
     log.count("reads", stats.reads)
     log.count("windows", stats.windows)
     log.count("windows_ok", stats.windows_ok)
