@@ -237,8 +237,11 @@ class MultiLas:
     """Union of several .las files as one pile source (SURVEY config 3:
     'multi-.las piles').
 
-    Pile order [PINNED]: records of file 1 (file order), then file 2, ...
-    All files must share tspace.
+    Pile order [PINNED]: the MERGED order — records sorted by lasmerge's key
+    (bread, COMP, abpos, bbpos) with ties in input-file order — so a pile is
+    byte-identical whether block .las files are merged on disk (lasmerge)
+    or opened together (one blessed route; DALIGNER LAmerge semantics,
+    SURVEY §2.3).  All files must share tspace.
     """
 
     def __init__(self, paths: Sequence[str]):
@@ -259,6 +262,11 @@ class MultiLas:
         out: List[Overlap] = []
         for f in self.files:
             out.extend(f.pile(aread))
+        # stable sort on the concatenation == k-way merge by the lasmerge
+        # key with equal keys kept in input-file order (each sorted input's
+        # own records are already key-ordered within its pile)
+        out.sort(key=lambda o: (o.bread, o.flags & FLAG_COMP,
+                                o.abpos, o.bbpos))
         return out
 
     def areads(self) -> np.ndarray:

@@ -42,13 +42,16 @@ def _batched_merge_jstar(P: np.ndarray, Q: np.ndarray, lq: np.ndarray,
 
 
 def stitch_many(winners_per_read: List[List[Optional[np.ndarray]]],
-                cfg: DaccordConfig, native: Optional[bool] = None
+                cfg: DaccordConfig, native: Optional[bool] = None,
+                nthreads: Optional[int] = None
                 ) -> List[List[Tuple[int, int, np.ndarray]]]:
     """Batched equivalent of [stitch(w, cfg) for w in winners_per_read].
 
     native: use the C++ run-walker for the merge DPs (default: when the
     native lib is available).  The numpy lockstep below is the pinned
-    reference; both are bit-identical (tests/test_stitcher.py)."""
+    reference; both are bit-identical (tests/test_stitcher.py).
+    nthreads: C++ worker threads (default: DACCORD_NATIVE_THREADS or
+    min(4, cores)); the streaming collector passes 1 for per-read calls."""
     w, a = cfg.w, cfg.a
     lp = (w - a) + cfg.path_delta
     lq_max = w + cfg.path_delta
@@ -95,7 +98,7 @@ def stitch_many(winners_per_read: List[List[Optional[np.ndarray]]],
             Q[idx, :len(q)] = q
             qlen[idx] = len(q)
         jstar = np.zeros(nw, dtype=np.int64)
-        nt = int(_os.environ.get("DACCORD_NATIVE_THREADS", 0)) \
+        nt = nthreads or int(_os.environ.get("DACCORD_NATIVE_THREADS", 0)) \
             or min(4, _os.cpu_count() or 1)
         lib.stitch_jstar_runs(Q.ctypes.data, qlen.ctypes.data,
                               run_off.ctypes.data, len(runs), LQ, lp,

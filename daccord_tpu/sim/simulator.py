@@ -40,6 +40,18 @@ class SimConfig:
     circular: bool = False  # linear genome only (pinned)
     repeat_density: float = 0.0  # tandem repeats planted per genome base
     #                              (repeat-heavy configs; stresses k2 retry)
+    segdup: Optional[Tuple[int, int, int]] = None
+    # (src, length, dst): copy genome[src:src+length] over
+    # genome[dst:dst+length] BEFORE read generation, and emit the
+    # repeat-induced CROSS-COPY alignments a real aligner would find between
+    # reads of different copies (the spurious alignments
+    # lasdetectsimplerepeats + lasfilteralignments --repeats exist to mask;
+    # gt1/daccord src/lasdetectsimplerepeats.cpp consumer role, SURVEY §2.1)
+    segdup_divergence: float = 0.0
+    # post-copy substitution rate applied to the dst copy: diverged repeat
+    # copies make cross-copy alignments actively MISLEADING (they vote the
+    # other copy's variants into the consensus) — the failure mode repeat
+    # masking exists to prevent
 
 
 @dataclasses.dataclass
@@ -100,8 +112,12 @@ def _make_read(rng: np.random.Generator, genome: np.ndarray, cfg: SimConfig) -> 
                    codes=codes, g2r=start, edits=edits)
 
 
-def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int):
-    """(a_t, b_t, abpos, bbpos) over boundaries t=0..L in A's direction."""
+def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int, boff: int = 0):
+    """(a_t, b_t, abpos, bbpos) over boundaries t=0..L in A's direction.
+
+    boff: B's genome interval is [lo+boff, hi+boff) — nonzero only for
+    segdup cross-copy records, where the two copies are base-identical so
+    the coordinate shift composes a true sequence-level alignment."""
     L = hi - lo
 
     def rE(read: SimRead, g):
@@ -115,24 +131,26 @@ def _pair_coords(A: SimRead, B: SimRead, lo: int, hi: int):
         gb = hi - np.arange(L + 1)
         a_t = int(rE(A, hi)) - rE(A, gb)
         abpos = A.rlen - int(rE(A, hi))
+    gbB = gb + boff
+    loB, hiB = lo + boff, hi + boff
     # B' is oriented like A; walking gb in A's direction:
     same_dir = (B.strand == A.strand)
     if same_dir:
         if A.strand == 0:   # both forward
-            b_t = rE(B, gb) - int(rE(B, lo))
-            bbpos = int(rE(B, lo))
+            b_t = rE(B, gbB) - int(rE(B, loB))
+            bbpos = int(rE(B, loB))
         else:               # both reverse: B' = E_B read backwards? No:
             # B stored = RC(E_B); comp=0 so B' = stored B = RC(E_B).
             # Walking genome downward, B' consumed = rE_B(hi) - rE_B(g).
-            b_t = int(rE(B, hi)) - rE(B, gb)
-            bbpos = B.rlen - int(rE(B, hi))
+            b_t = int(rE(B, hiB)) - rE(B, gbB)
+            bbpos = B.rlen - int(rE(B, hiB))
     else:
         if A.strand == 0:   # A fwd, B rev: comp=1, B' = RC(stored B) = E_B
-            b_t = rE(B, gb) - int(rE(B, lo))
-            bbpos = int(rE(B, lo))
+            b_t = rE(B, gbB) - int(rE(B, loB))
+            bbpos = int(rE(B, loB))
         else:               # A rev, B fwd: comp=1, B' = RC(stored B) = RC(E_B)
-            b_t = int(rE(B, hi)) - rE(B, gb)
-            bbpos = B.rlen - int(rE(B, hi))
+            b_t = int(rE(B, hiB)) - rE(B, gbB)
+            bbpos = B.rlen - int(rE(B, hiB))
     return a_t.astype(np.int64), b_t.astype(np.int64), abpos, bbpos
 
 
@@ -172,6 +190,17 @@ def simulate(cfg: SimConfig) -> SimDataset:
             mlen = int(rng.integers(8, 15))
             p = int(rng.integers(0, cfg.genome_len - 2 * mlen))
             genome[p + mlen:p + 2 * mlen] = genome[p:p + mlen]
+    if cfg.segdup is not None:
+        src, L, dst = cfg.segdup
+        assert 0 <= src and src + L <= cfg.genome_len
+        assert 0 <= dst and dst + L <= cfg.genome_len
+        assert dst >= src + L or src >= dst + L, "segdup copies must be disjoint"
+        genome[dst:dst + L] = genome[src:src + L]
+        if cfg.segdup_divergence > 0:
+            div = rng.random(L) < cfg.segdup_divergence
+            delta = rng.integers(1, 4, size=L).astype(np.uint8)
+            genome[dst:dst + L] = np.where(
+                div, (genome[dst:dst + L] + delta) % 4, genome[dst:dst + L])
     lmean = (cfg.read_len[0] + cfg.read_len[1]) / 2
     nreads = max(2, int(round(cfg.genome_len * cfg.coverage / lmean)))
     reads = [_make_read(rng, genome, cfg) for _ in range(nreads)]
@@ -195,36 +224,70 @@ def simulate(cfg: SimConfig) -> SimDataset:
             hi = min(A.gend, B.gend)
             if hi - lo < cfg.min_overlap:
                 continue
-            a_t, b_t, abpos, bbpos = _pair_coords(A, B, lo, hi)
-            aepos = abpos + int(a_t[-1])
-            bepos = bbpos + int(b_t[-1])
-            if aepos <= abpos or bepos <= bbpos:
-                continue
-            eA = np.concatenate([[0], np.cumsum(A.edits[lo - A.gstart:hi - A.gstart])])
-            eB = np.concatenate([[0], np.cumsum(B.edits[lo - B.gstart:hi - B.gstart])])
-            if A.strand == 0:
-                ed_t = eA + eB
-            else:
-                ed_t = (eA[-1] - eA[::-1]) + (eB[-1] - eB[::-1])
-            ts = cfg.tspace
-            first = (abpos // ts + 1) * ts
-            vbound = np.concatenate([[abpos], np.arange(first, aepos, ts), [aepos]])
-            # A position v lies in the genome cell t(v) = last t with a_t <= v;
-            # composed B position at v is b_t[t(v)].  Deriving bbpos/bepos from
-            # the SAME map keeps the LAcheck invariant sum(b_j)==bepos-bbpos
-            # exact under plateaus/jumps of a_t (deletions/insertions).
-            tb = np.searchsorted(a_t, vbound - abpos, side="right") - 1
-            bbpos_f = bbpos + int(b_t[tb[0]])
-            bepos_f = bbpos + int(b_t[tb[-1]])
-            if bepos_f <= bbpos_f:
-                continue
-            badv = np.diff(b_t[tb]).astype(np.int64)
-            dblk = np.minimum(np.diff(ed_t[tb]).astype(np.int64), 255)
-            trace = np.stack([dblk, badv], axis=1).astype(np.int32)
-            overlaps.append(Overlap(
-                aread=ai, bread=bi,
-                flags=FLAG_COMP if A.strand != B.strand else 0,
-                abpos=abpos, aepos=aepos, bbpos=bbpos_f, bepos=bepos_f,
-                diffs=int(dblk.sum()), trace=trace))
+            ov = _make_overlap(cfg, reads, ai, bi, lo, hi)
+            if ov is not None:
+                overlaps.append(ov)
+
+    if cfg.segdup is not None:
+        # repeat-induced CROSS-COPY alignments: reads of copy 1 align to
+        # reads of copy 2 over the duplicated segment (base-identical by
+        # construction), exactly as an aligner would report; only pairs
+        # with no true genomic overlap are added
+        src, L, dst = cfg.segdup
+        for ai, A in enumerate(reads):
+            for bi, B in enumerate(reads):
+                if ai == bi:
+                    continue
+                if (min(A.gend, B.gend) - max(A.gstart, B.gstart)
+                        >= cfg.min_overlap):
+                    continue        # true overlap already recorded
+                for off, s0, s1 in ((dst - src, src, src + L),
+                                    (src - dst, dst, dst + L)):
+                    lo = max(A.gstart, s0, B.gstart - off)
+                    hi = min(A.gend, s1, B.gend - off)
+                    if hi - lo < cfg.min_overlap:
+                        continue
+                    ov = _make_overlap(cfg, reads, ai, bi, lo, hi, boff=off)
+                    if ov is not None:
+                        overlaps.append(ov)
     overlaps.sort(key=lambda o: (o.aread, o.bread, o.flags, o.abpos))
     return SimDataset(cfg=cfg, genome=genome, reads=reads, overlaps=overlaps)
+
+
+def _make_overlap(cfg: SimConfig, reads: List[SimRead], ai: int, bi: int,
+                  lo: int, hi: int, boff: int = 0) -> Optional[Overlap]:
+    """Compose one .las record for reads ai/bi over genome interval
+    [lo, hi) of A (B's interval shifted by boff — segdup cross-copy)."""
+    A, B = reads[ai], reads[bi]
+    a_t, b_t, abpos, bbpos = _pair_coords(A, B, lo, hi, boff)
+    aepos = abpos + int(a_t[-1])
+    bepos = bbpos + int(b_t[-1])
+    if aepos <= abpos or bepos <= bbpos:
+        return None
+    eA = np.concatenate([[0], np.cumsum(A.edits[lo - A.gstart:hi - A.gstart])])
+    eB = np.concatenate([[0], np.cumsum(
+        B.edits[lo + boff - B.gstart:hi + boff - B.gstart])])
+    if A.strand == 0:
+        ed_t = eA + eB
+    else:
+        ed_t = (eA[-1] - eA[::-1]) + (eB[-1] - eB[::-1])
+    ts = cfg.tspace
+    first = (abpos // ts + 1) * ts
+    vbound = np.concatenate([[abpos], np.arange(first, aepos, ts), [aepos]])
+    # A position v lies in the genome cell t(v) = last t with a_t <= v;
+    # composed B position at v is b_t[t(v)].  Deriving bbpos/bepos from
+    # the SAME map keeps the LAcheck invariant sum(b_j)==bepos-bbpos
+    # exact under plateaus/jumps of a_t (deletions/insertions).
+    tb = np.searchsorted(a_t, vbound - abpos, side="right") - 1
+    bbpos_f = bbpos + int(b_t[tb[0]])
+    bepos_f = bbpos + int(b_t[tb[-1]])
+    if bepos_f <= bbpos_f:
+        return None
+    badv = np.diff(b_t[tb]).astype(np.int64)
+    dblk = np.minimum(np.diff(ed_t[tb]).astype(np.int64), 255)
+    trace = np.stack([dblk, badv], axis=1).astype(np.int32)
+    return Overlap(
+        aread=ai, bread=bi,
+        flags=FLAG_COMP if A.strand != B.strand else 0,
+        abpos=abpos, aepos=aepos, bbpos=bbpos_f, bepos=bepos_f,
+        diffs=int(dblk.sum()), trace=trace)

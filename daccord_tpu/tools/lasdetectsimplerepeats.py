@@ -4,11 +4,18 @@ Reference: gt1/daccord ``src/lasdetectsimplerepeats.cpp`` (SURVEY §2.1):
 detects simple-repeat intervals on reads from pile-depth anomalies; the
 intervals are used to mask piles.
 
-Pinned rule [PINNED-HERE]: per aread, build the coverage profile from its
-pile's [abpos, aepos) intervals; positions with depth > ``--factor`` (default
-3.0) x the global median pile depth are repeat-flagged; maximal runs longer
-than ``--minlen`` (default 100) are emitted as tab-separated
-``aread  start  end  depth_max`` lines (sorted by aread, start).
+Pinned rule [PINNED-HERE]: per aread, build the positional coverage profile
+from its pile's [abpos, aepos) intervals; positions with depth >
+``--factor`` (default 3.0) x the global median POSITIONAL depth (median over
+reads of each read's median profile depth) are repeat-flagged; maximal runs
+longer than ``--minlen`` (default 100) are emitted as tab-separated
+``aread  start  end  depth_max`` lines (sorted by aread, start).  A
+two-copy segmental duplication doubles positional depth, so ``--factor``
+below 2 catches it; the default 3.0 targets higher-multiplicity simple
+repeats (the reference tool's namesake).
+
+Memory: two streaming passes over piles (one pile resident at a time) —
+O(max read length), not O(all records) (VERDICT r2 weak #4 / item 8).
 """
 
 from __future__ import annotations
@@ -23,28 +30,49 @@ from daccord_tpu.formats.dazzler_db import DazzlerDB
 from daccord_tpu.formats.las import LasFile
 
 
-def detect(db: DazzlerDB, las: LasFile, factor: float, minlen: int):
-    depth_samples = []
-    piles = {}
+def _profile(db: DazzlerDB, pile, aread: int) -> np.ndarray:
+    rlen = int(db.rlen[aread])
+    cov = np.zeros(rlen + 1, dtype=np.int64)
+    for o in pile:
+        cov[o.abpos] += 1
+        cov[o.aepos] -= 1
+    return np.cumsum(cov[:-1])
+
+
+def _smooth(prof: np.ndarray, wdw: int) -> np.ndarray:
+    """Centered box-mean over +-wdw/2 (clipped at ends); wdw <= 1 = off.
+    Pile depth at 10-20x is Poisson-noisy; thresholding the raw profile
+    fragments 1.5-2x anomalies into sub-minlen runs."""
+    if wdw <= 1 or not len(prof):
+        return prof.astype(np.float64)
+    c = np.concatenate([[0], np.cumsum(prof)])
+    n = len(prof)
+    i0 = np.maximum(np.arange(n) - wdw // 2, 0)
+    i1 = np.minimum(np.arange(n) + wdw // 2 + 1, n)
+    return (c[i1] - c[i0]) / (i1 - i0)
+
+
+def detect(db: DazzlerDB, las: LasFile, factor: float, minlen: int,
+           smooth: int = 64):
+    # pass 1: per-read median positional depth -> global median (streaming)
+    med_samples = []
     for aread in las.areads():
-        pile = las.pile(int(aread))
-        piles[int(aread)] = pile
-        depth_samples.append(len(pile))
-    med = float(np.median(depth_samples)) if depth_samples else 0.0
+        prof = _profile(db, las.pile(int(aread)), int(aread))
+        if len(prof):
+            med_samples.append(float(np.median(prof)))
+    med = float(np.median(med_samples)) if med_samples else 0.0
     cut = factor * max(med, 1.0)
+    # pass 2: flag positions above the cut, emit maximal runs (streaming)
     out = []
-    for aread, pile in piles.items():
-        rlen = int(db.rlen[aread])
-        cov = np.zeros(rlen + 1, dtype=np.int64)
-        for o in pile:
-            cov[o.abpos] += 1
-            cov[o.aepos] -= 1
-        prof = np.cumsum(cov[:-1])
-        mask = prof > cut
+    for aread_ in las.areads():
+        aread = int(aread_)
+        prof = _profile(db, las.pile(aread), aread)
+        sm = _smooth(prof, smooth)
+        mask = sm > cut
         if not mask.any():
             continue
-        edges = np.flatnonzero(np.diff(np.concatenate([[0], mask.view(np.int8),
-                                                       [0]])))
+        edges = np.flatnonzero(np.diff(np.concatenate(
+            [[0], mask.astype(np.int8), [0]])))
         for s, e in zip(edges[::2], edges[1::2]):
             if e - s >= minlen:
                 out.append((aread, int(s), int(e), int(prof[s:e].max())))
@@ -56,12 +84,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="lasdetectsimplerepeats")
     p.add_argument("las")
     p.add_argument("db")
-    p.add_argument("--factor", type=float, default=3.0)
+    p.add_argument("--factor", type=float, default=3.0,
+                   help="flag positions above factor x median depth "
+                        "(1.4-1.6 catches two-copy duplications)")
+    p.add_argument("--smooth", type=int, default=64,
+                   help="box-mean window over the depth profile (<=1 off)")
     p.add_argument("--minlen", type=int, default=100)
     args = p.parse_args(argv)
     db = DazzlerDB.open(args.db)
     las = LasFile.open(args.las)
-    rows, med = detect(db, las, args.factor, args.minlen)
+    rows, med = detect(db, las, args.factor, args.minlen, args.smooth)
     for (a, s, e, dm) in rows:
         print(f"{a}\t{s}\t{e}\t{dm}")
     print(f"[lasdetectsimplerepeats] {len(rows)} intervals "

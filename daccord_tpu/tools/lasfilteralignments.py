@@ -144,6 +144,53 @@ def global_rates(diffs: np.ndarray, spans: np.ndarray,
     return np.minimum(d / np.maximum(s, 1), 1.0)
 
 
+def load_repeats(path: str) -> dict:
+    """aread -> sorted merged [start, end) interval arrays, from the
+    tab-separated output of lasdetectsimplerepeats."""
+    per: dict = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            a, s, e = int(parts[0]), int(parts[1]), int(parts[2])
+            per.setdefault(a, []).append((s, e))
+    out: dict = {}
+    for a, ivs in per.items():
+        ivs.sort()
+        merged = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        out[a] = np.asarray(merged, dtype=np.int64)
+    return out
+
+
+def repeat_masked(las: LasFile, repeats: dict, frac: float) -> np.ndarray:
+    """keep mask [N]: False where the alignment's A-span is covered >= frac
+    by the aread's repeat intervals (repeat-induced: no unique anchor).
+
+    Pinned rule [PINNED-HERE]: coverage = |aspan INTERSECT union(intervals)|
+    / (aepos - abpos); drop iff coverage >= frac (default 0.95 — detector
+    boundaries are depth-crossing points, so contained alignments can spill
+    a few bases).  This is the pile-masking consumer of
+    lasdetectsimplerepeats (gt1/daccord src/lasdetectsimplerepeats.cpp
+    "intervals used to mask piles", SURVEY §2.1)."""
+    keep = np.ones(las.novl, dtype=bool)
+    for i, o in enumerate(las):
+        ivs = repeats.get(o.aread)
+        if ivs is None:
+            continue
+        lo = np.maximum(ivs[:, 0], o.abpos)
+        hi = np.minimum(ivs[:, 1], o.aepos)
+        cov = int(np.maximum(hi - lo, 0).sum())
+        if cov >= frac * (o.aepos - o.abpos):
+            keep[i] = False
+    return keep
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="lasfilteralignments")
     p.add_argument("out_las")
@@ -159,6 +206,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="eprof artifact (from daccord -E): derive the "
                         "expected window-rate distribution from the shared "
                         "profile instead of the file-local fit")
+    p.add_argument("--repeats", default=None,
+                   help="lasdetectsimplerepeats output: drop alignments "
+                        "whose A-span is covered >= --repeat-frac by a "
+                        "repeat interval (repeat-induced, no unique anchor)")
+    p.add_argument("--repeat-frac", type=float, default=0.95)
     args = p.parse_args(argv)
 
     las = LasFile.open(args.in_las)
@@ -182,6 +234,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         desc = f"window cut={cut:.4f}"
     if args.e is not None:
         keep &= global_rates(diffs, spans, valid) <= args.e
+    if args.repeats is not None:
+        rmask = repeat_masked(las, load_repeats(args.repeats),
+                              args.repeat_frac)
+        desc += f", repeats dropped {int((~rmask).sum())}"
+        keep &= rmask
     kept = [o for i, o in enumerate(las) if keep[i]]
     write_las(args.out_las, las.tspace, kept)
     print(f"[lasfilteralignments] kept {len(kept)}/{las.novl} "

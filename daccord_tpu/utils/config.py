@@ -47,6 +47,16 @@ class DaccordConfig:
     batch_windows: int = 256   # windows per device batch
     realign_device: bool = False  # trace-block realignment on the device
                                   # (ops/realign_dp.py) instead of host C++
+    # --- streaming back half (bounded memory at config-5 scale) ---
+    max_flight_batches: int = 128  # fetch device outputs when more than this
+                                   # many batches are un-fetched (bounds both
+                                   # winner memory and ReadRows lifetime);
+                                   # small runs (< limit) fetch exactly once
+    bucket_flush_reads: int = 512  # dispatch a partial depth bucket once its
+                                   # oldest window is this many reads old
+                                   # (bounds ReadRows held by rare-depth
+                                   # buckets; per-window results are batch-
+                                   # invariant so output bytes are unchanged)
     # default error profile when no -E artifact given (ALGORITHM §7)
     default_e_sub: float = 0.03
     default_e_ins: float = 0.08

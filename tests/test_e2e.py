@@ -57,6 +57,47 @@ def test_device_realign_pipeline_equals_oracle(dataset):
     assert tpu_recs == oracle_recs
 
 
+def test_streaming_collector_equals_oracle(dataset):
+    """Tiny flight/flush limits force mid-run fetches, partial bucket
+    flushes and per-read stitch+emit (the bounded-memory path, VERDICT r2
+    item 2); output must stay byte-identical to the oracle."""
+    ds, db_path, las_path = dataset
+    cfg = DaccordConfig(I=(0, 6), batch_windows=32,
+                        max_flight_batches=2, bucket_flush_reads=1)
+    oracle_recs, ostats = run_oracle(db_path, las_path, cfg)
+    tpu_recs, tstats = run_tpu(db_path, las_path, cfg, use_mesh=False)
+    assert tstats.batches > cfg.max_flight_batches  # streaming really hit
+    assert tpu_recs == oracle_recs
+    assert tstats.windows_ok == ostats.windows_ok
+    assert tstats.k2_retries == ostats.k2_retries
+
+
+def test_streaming_frees_row_pools(dataset, monkeypatch):
+    """The bounded-memory invariant: every ReadRows the streamed run builds
+    is released by the end of the run (row pools do not accumulate)."""
+    import gc
+    import weakref
+
+    import daccord_tpu.pipeline.rows as rows_mod
+    ds, db_path, las_path = dataset
+    cfg = DaccordConfig(I=(0, 6), batch_windows=32,
+                        max_flight_batches=2, bucket_flush_reads=1)
+    refs = []
+    orig = rows_mod.extract_rows
+
+    def tracking(*a, **kw):
+        rr = orig(*a, **kw)
+        refs.append(weakref.ref(rr))
+        return rr
+
+    monkeypatch.setattr(rows_mod, "extract_rows", tracking)
+    recs, stats = run_tpu(db_path, las_path, cfg, use_mesh=False)
+    gc.collect()
+    alive = sum(1 for r in refs if r() is not None)
+    assert len(refs) == stats.reads
+    assert alive == 0, f"{alive}/{len(refs)} ReadRows pools still alive"
+
+
 def test_process_pool_front_half_equals_serial(dataset):
     """-t N>1 fans the front half over worker processes; output identical."""
     from daccord_tpu.pipeline.runner import run_tpu
