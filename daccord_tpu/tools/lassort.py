@@ -13,24 +13,73 @@ chains whose members straddle other (bread, comp) groups only if the input
 interleaved them — daligner emits chain members consecutively with equal
 (aread, bread), where this key keeps them adjacent in abpos order.
 
-Records are materialized in memory (a .las record is ~40B + trace; piles at
-daccord scale fit comfortably — the streaming k-way path is ``lasmerge``).
+Default mode materializes records in memory; ``--chunk-records N`` switches
+to an EXTERNAL sort (sort N-record runs to temp .las files, then k-way heap
+merge via the lasmerge machinery) with O(N + #chunks) memory — the LAsort
+behavior at block scale (VERDICT r2 item 8).  Both modes produce identical
+bytes: the merge key equals the sort key and heap ties keep chunk order =
+input order, exactly the stable sort's tie rule.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import tempfile
 from typing import List, Optional
 
-from daccord_tpu.formats.las import FLAG_COMP, LasFile, write_las
+from daccord_tpu.formats.las import FLAG_COMP, LasFile, write_las, \
+    write_las_stream
+
+
+def _key(o):
+    return (o.aread, o.bread, o.flags & FLAG_COMP, o.abpos, o.bbpos)
 
 
 def sort_records(las: LasFile) -> list:
     recs = list(las)
-    recs.sort(key=lambda o: (o.aread, o.bread, o.flags & FLAG_COMP,
-                             o.abpos, o.bbpos))
+    recs.sort(key=_key)
     return recs
+
+
+def external_sort(las: LasFile, out_las: str, chunk: int) -> None:
+    """Chunked external sort -> out_las (bytes identical to the in-memory
+    path: stable within chunks + stable merge across chunks in input
+    order)."""
+    from daccord_tpu.tools.lasmerge import merge_records
+    tmpdir = tempfile.mkdtemp(prefix="lassort_",
+                              dir=os.path.dirname(os.path.abspath(out_las)))
+    tmps: List[str] = []
+    try:
+        buf: list = []
+
+        def flush():
+            if not buf:
+                return
+            buf.sort(key=_key)
+            path = os.path.join(tmpdir, f"chunk{len(tmps):06d}.las")
+            write_las(path, las.tspace, buf)
+            tmps.append(path)
+            buf.clear()
+
+        for o in las:
+            buf.append(o)
+            if len(buf) >= chunk:
+                flush()
+        flush()
+        if not tmps:
+            write_las(out_las, las.tspace, [])
+            return
+        lass = [LasFile.open(t) for t in tmps]
+        write_las_stream(out_las, las.tspace, las.novl,
+                         merge_records(lass, tmps))
+    finally:
+        for t in tmps:
+            for q in (t, t + ".npz"):
+                if os.path.exists(q):
+                    os.unlink(q)
+        os.rmdir(tmpdir)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -39,14 +88,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         "abpos, bbpos) — LAsort analog")
     p.add_argument("out_las")
     p.add_argument("in_las")
+    p.add_argument("--chunk-records", type=int, default=0,
+                   help="external-sort run length (0 = in-memory)")
     p.add_argument("-V", action="count", default=0, help="verbose")
     args = p.parse_args(argv)
 
     las = LasFile.open(args.in_las)
-    recs = sort_records(las)
-    write_las(args.out_las, las.tspace, recs)
+    if args.chunk_records > 0:
+        external_sort(las, args.out_las, args.chunk_records)
+        n = las.novl
+    else:
+        recs = sort_records(las)
+        write_las(args.out_las, las.tspace, recs)
+        n = len(recs)
     if args.V:
-        print(f"[lassort] {len(recs)} records -> {args.out_las}",
+        print(f"[lassort] {n} records -> {args.out_las}",
               file=sys.stderr)
     return 0
 

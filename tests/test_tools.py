@@ -386,3 +386,49 @@ def test_lasfilteralignments_eprof_shared_distribution(tmp_path):
                "e_del": [0.01] * 10, "n_bases": [1000] * 10},
               open(eprof, "w"))
     assert abs(profile_mu(eprof) - 0.10) < 1e-12
+
+
+def test_lassort_external_chunks_identical(dataset, tmp_path):
+    """--chunk-records external sort == in-memory sort, byte for byte."""
+    import random
+
+    from daccord_tpu.formats.las import LasFile, write_las
+    from daccord_tpu.tools import lassort
+    ds, db_path, las_path, _ = dataset
+    recs = list(LasFile.open(las_path))
+    rng = random.Random(3)
+    rng.shuffle(recs)
+    shuf = str(tmp_path / "shuf.las")
+    write_las(shuf, ds.cfg.tspace, recs)
+    out_mem = str(tmp_path / "mem.las")
+    out_ext = str(tmp_path / "ext.las")
+    assert lassort.main([out_mem, shuf]) == 0
+    assert lassort.main([out_ext, shuf, "--chunk-records", "37"]) == 0
+    assert open(out_mem, "rb").read() == open(out_ext, "rb").read()
+
+
+def test_filterchains_streaming_equals_memory(dataset, tmp_path):
+    """Streaming (sorted input) and in-memory fallback produce identical
+    bytes; unsorted input falls back without error."""
+    import random
+
+    from daccord_tpu.formats.las import LasFile, write_las
+    from daccord_tpu.tools import filterchains
+    ds, db_path, las_path, _ = dataset
+    out_stream = str(tmp_path / "s.las")
+    assert filterchains.main([out_stream, las_path]) == 0
+    # force the fallback on the same (sorted) input
+    las = LasFile.open(las_path)
+    kept, _ = filterchains.resolve_chains(filterchains.build_chains(las))
+    out_mem = str(tmp_path / "m.las")
+    write_las(out_mem, las.tspace, kept)
+    assert open(out_stream, "rb").read() == open(out_mem, "rb").read()
+    # unsorted input: fallback path runs and matches sorting-first
+    recs = list(las)
+    random.Random(5).shuffle(recs)
+    shuf = str(tmp_path / "shuf.las")
+    write_las(shuf, las.tspace, recs)
+    out_uns = str(tmp_path / "u.las")
+    assert filterchains.main([out_uns, shuf]) == 0
+    n1 = LasFile.open(out_uns).novl
+    assert n1 > 0
