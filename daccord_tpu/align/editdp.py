@@ -128,13 +128,20 @@ def _reverse_pad(X: np.ndarray, lx: np.ndarray) -> np.ndarray:
 
 def batch_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
                   lb: np.ndarray, X: np.ndarray,
-                  nthreads: int = 0) -> np.ndarray:
+                  nthreads: int = 0, band=None) -> np.ndarray:
     """bpos (ALGORITHM §1 rule) evaluated only at positions X [N, PX].
 
     Same pinned rule as batch_bpos, but the argmin runs only on the requested
     rows (window-boundary lattice positions) — ~10x less work than the full
     map when only multiples of the window advance are needed.
     X values must be in [0, la[n]]; output [N, PX] int64.
+
+    band: optional int64 [N] diagonal half-width per problem (the libmaus2
+    lcs/NP O(n*d) shape, SURVEY §2.2): the C++ kernel fills only |j-i| <=
+    band[n] and falls back to the full DP per problem when the band
+    saturates, so results are bit-identical for ANY band values; callers
+    pass the trace-block diff count d_j (an upper bound on the distance)
+    plus slack.  Ignored by the NumPy fallback (same results).
 
     Uses the native C++ kernel (daccord_tpu/native/realign.cpp) when it
     builds; NumPy fallback otherwise (identical results, tested).
@@ -155,6 +162,11 @@ def batch_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
         out = np.zeros((N, PX), dtype=np.int64)
         nt = nthreads or int(_os.environ.get(
             "DACCORD_NATIVE_THREADS", 0)) or min(4, _os.cpu_count() or 1)
+        if band is not None:
+            band64 = np.ascontiguousarray(band, dtype=np.int64)
+            band_ptr = band64.ctypes.data_as(ctypes.c_void_p)
+        else:
+            band_ptr = None
         lib.bpos_at_batch(
             A.ctypes.data_as(ctypes.c_void_p),
             la64.ctypes.data_as(ctypes.c_void_p),
@@ -162,7 +174,7 @@ def batch_bpos_at(A: np.ndarray, la: np.ndarray, B: np.ndarray,
             lb64.ctypes.data_as(ctypes.c_void_p),
             X64.ctypes.data_as(ctypes.c_void_p),
             np.int64(PX), np.int64(N), np.int64(LA), np.int64(LB),
-            out.ctypes.data_as(ctypes.c_void_p), np.int64(nt))
+            out.ctypes.data_as(ctypes.c_void_p), np.int64(nt), band_ptr)
         return out
     return _batch_bpos_at_numpy(A, la, B, lb, X)
 

@@ -27,6 +27,8 @@ inline int32_t min3(int32_t a, int32_t b, int32_t c) {
     return std::min(a, std::min(b, c));
 }
 
+constexpr int32_t BANDBIG = 1 << 28;   // out-of-band sentinel (sum-safe)
+
 // Fill forward DP over (a[0..la) x b[0..lb)), capturing rows listed in
 // rows_sorted (ascending, unique, values in [0, la]) into cap (each lb+1).
 void dp_capture_rows(const uint8_t* a, int64_t la, const uint8_t* b,
@@ -54,31 +56,107 @@ void dp_capture_rows(const uint8_t* a, int64_t la, const uint8_t* b,
     }
 }
 
+// Banded forward fill (diagonal band |j - i| <= s), capturing requested rows
+// FULL-WIDTH with BANDBIG outside the band.  Exact for all cells on any
+// optimal path when the true distance <= s (every optimal path's |#ins -
+// #del| prefix imbalance is bounded by the distance) — the libmaus2
+// lcs/NP-class O(n*d) shape (SURVEY §2.2; VERDICT r2 item 5).
+void dp_capture_rows_banded(const uint8_t* a, int64_t la, const uint8_t* b,
+                            int64_t lb, const int64_t* rows, int64_t nrows,
+                            int32_t* cap, int32_t* r0, int32_t* r1,
+                            int64_t s) {
+    for (int64_t j = 0; j <= lb; ++j) r0[j] = j <= s ? (int32_t)j : BANDBIG;
+    int64_t ri = 0;
+    while (ri < nrows && rows[ri] == 0) {
+        std::memcpy(cap + ri * (lb + 1), r0, (lb + 1) * sizeof(int32_t));
+        ++ri;
+    }
+    for (int64_t i = 1; i <= la; ++i) {
+        const int64_t jlo = std::max<int64_t>(1, i - s);
+        const int64_t jhi = std::min(lb, i + s);
+        // cells outside [jlo, jhi] are out of band this row; the boundary
+        // cell jlo-1 must read as the true column-0 value (i, when in band)
+        // or BANDBIG for the left-neighbor dependency
+        if (jlo - 1 <= lb)
+            r1[jlo - 1] = (i <= s && jlo == 1) ? (int32_t)i : BANDBIG;
+        const uint8_t ai = a[i - 1];
+        for (int64_t j = jlo; j <= jhi; ++j) {
+            const int32_t sub = r0[j - 1] + (ai != b[j - 1]);
+            r1[j] = min3(sub, r0[j] + 1, r1[j - 1] + 1);
+        }
+        if (jhi + 1 <= lb) r1[jhi + 1] = BANDBIG;  // right fringe for row i+1
+        std::swap(r0, r1);
+        while (ri < nrows && rows[ri] == i) {
+            // full-width capture: fill out-of-band cells with BANDBIG;
+            // lo/hi clamp also covers rows entirely out of band (la >> lb
+            // with a tiny band), where nothing valid exists to copy
+            int32_t* dst = cap + ri * (lb + 1);
+            const int64_t lo = std::min(std::max<int64_t>(jlo - 1, 0),
+                                        lb + 1);
+            const int64_t hi = std::min(jhi, lb);
+            for (int64_t j = 0; j < lo; ++j) dst[j] = BANDBIG;
+            if (hi >= lo)
+                std::memcpy(dst + lo, r0 + lo,
+                            (hi - lo + 1) * sizeof(int32_t));
+            for (int64_t j = std::max(hi + 1, lo); j <= lb; ++j)
+                dst[j] = BANDBIG;
+            ++ri;
+        }
+    }
+}
+
+struct BposScratch {
+    std::vector<int64_t> xs, order, rows_f, rows_b;
+    std::vector<int32_t> capf, capb, r0, r1;
+    std::vector<uint8_t> ar, br;
+};
+
 void one_problem(const uint8_t* A, const uint8_t* B, int64_t la, int64_t lb,
-                 int64_t LB, const int64_t* X, int64_t PX, int64_t* out) {
+                 int64_t LB, const int64_t* X, int64_t PX, int64_t* out,
+                 int64_t band, BposScratch& S) {
     // sort/unique requested positions, remembering mapping
-    std::vector<int64_t> xs(X, X + PX);
+    auto& xs = S.xs;
+    xs.assign(X, X + PX);
     for (auto& x : xs) x = std::min(std::max<int64_t>(x, 0), la);
-    std::vector<int64_t> order(PX);
+    auto& order = S.order;
+    order.resize(PX);
     for (int64_t p = 0; p < PX; ++p) order[p] = p;
     std::sort(order.begin(), order.end(),
               [&](int64_t u, int64_t v) { return xs[u] < xs[v]; });
-    std::vector<int64_t> rows_f, rows_b;
-    rows_f.reserve(PX);
+    auto& rows_f = S.rows_f;
+    auto& rows_b = S.rows_b;
+    rows_f.clear();
+    rows_b.clear();
     for (int64_t p = 0; p < PX; ++p) rows_f.push_back(xs[order[p]]);
     // backward rows needed: la - x, ascending
     for (int64_t p = PX - 1; p >= 0; --p) rows_b.push_back(la - rows_f[p]);
 
-    std::vector<int32_t> capf(PX * (lb + 1)), capb(PX * (lb + 1));
-    std::vector<int32_t> r0(lb + 1), r1(lb + 1);
-    std::vector<uint8_t> ar(la), br(lb);
+    auto& capf = S.capf;
+    auto& capb = S.capb;
+    auto& r0 = S.r0;
+    auto& r1 = S.r1;
+    auto& ar = S.ar;
+    auto& br = S.br;
+    capf.resize(PX * (lb + 1));
+    capb.resize(PX * (lb + 1));
+    r0.resize(lb + 1);
+    r1.resize(lb + 1);
+    ar.resize(la);
+    br.resize(lb);
     for (int64_t i = 0; i < la; ++i) ar[i] = A[la - 1 - i];
     for (int64_t j = 0; j < lb; ++j) br[j] = B[lb - 1 - j];
 
-    dp_capture_rows(A, la, B, lb, rows_f.data(), PX, capf.data(),
-                    r0.data(), r1.data());
-    dp_capture_rows(ar.data(), la, br.data(), lb, rows_b.data(), PX,
-                    capb.data(), r0.data(), r1.data());
+    if (band >= 0) {
+        dp_capture_rows_banded(A, la, B, lb, rows_f.data(), PX, capf.data(),
+                               r0.data(), r1.data(), band);
+        dp_capture_rows_banded(ar.data(), la, br.data(), lb, rows_b.data(),
+                               PX, capb.data(), r0.data(), r1.data(), band);
+    } else {
+        dp_capture_rows(A, la, B, lb, rows_f.data(), PX, capf.data(),
+                        r0.data(), r1.data());
+        dp_capture_rows(ar.data(), la, br.data(), lb, rows_b.data(), PX,
+                        capb.data(), r0.data(), r1.data());
+    }
 
     for (int64_t p = 0; p < PX; ++p) {
         const int32_t* rf = capf.data() + p * (lb + 1);
@@ -90,6 +168,12 @@ void one_problem(const uint8_t* A, const uint8_t* B, int64_t la, int64_t lb,
         for (int64_t j = 0; j <= lb; ++j) {
             const int32_t v = rf[j] + rb[lb - j];
             if (v < best) { best = v; bestj = j; }
+        }
+        if (band >= 0 && best > band) {
+            // band saturated (the min over j at any row equals the true
+            // distance when <= band): exactness fallback to the full DP
+            one_problem(A, B, la, lb, LB, X, PX, out, -1, S);
+            return;
         }
         out[order[p]] = bestj;
     }
@@ -234,15 +318,22 @@ void stitch_jstar_runs(const uint8_t* Q, const int64_t* qlen,
     }
 }
 
+// band: per-problem diagonal half-width (banded O(n*d) fill with full-DP
+// fallback when the band saturates — results bit-identical), or NULL for
+// full DP on every problem.  Callers derive the band from the trace-block
+// diff counts d_j, which upper-bound the true edit distance (the producing
+// aligner found an alignment with d_j differences).
 void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
                    const int64_t* lb, const int64_t* X, int64_t PX,
                    int64_t N, int64_t LA, int64_t LB, int64_t* out,
-                   int64_t nthreads) {
+                   int64_t nthreads, const int64_t* band) {
     if (nthreads < 1) nthreads = 1;
     auto worker = [&](int64_t t) {
+        BposScratch S;
         for (int64_t n = t; n < N; n += nthreads) {
             one_problem(A + n * LA, B + n * LB, la[n], lb[n], LB,
-                        X + n * PX, PX, out + n * PX);
+                        X + n * PX, PX, out + n * PX,
+                        band ? band[n] : -1, S);
         }
     };
     if (nthreads == 1) {

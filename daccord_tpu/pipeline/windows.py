@@ -128,6 +128,8 @@ def _pile_block_arrays(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     blk_a0 = np.concatenate(a0_l) if a0_l else np.zeros(0, np.int64)
     blk_a1 = np.concatenate(a1_l) if a1_l else np.zeros(0, np.int64)
     blk_b0 = np.concatenate(b0_l) if b0_l else np.zeros(0, np.int64)
+    blk_d = (np.concatenate([o.trace[:, 0].astype(np.int64) for o in pile])
+             if pile else np.zeros(0, np.int64))
     blk_owner = np.repeat(np.arange(nov), nblk)
     la = (blk_a1 - blk_a0).astype(np.int64)
     lb = np.concatenate([o.trace[:, 1].astype(np.int64) for o in pile]) \
@@ -154,7 +156,7 @@ def _pile_block_arrays(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     Bbuf = np.full((N, LB), PAD, dtype=np.uint8)
     ragged_fill(Abuf, blk_a0, la, A)
     ragged_fill(Bbuf, bseq_offs[blk_owner] + blk_b0, lb, bpool)
-    return Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0
+    return Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0, blk_d
 
 
 def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
@@ -194,7 +196,7 @@ def realign_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     if prep is None:
         return realigned, None
     bp_at = batch_bpos_at(prep["Abuf"], prep["la"], prep["Bbuf"], prep["lb"],
-                          prep["X"])
+                          prep["X"], band=prep["band"])
     finish_pile(prep, pile, realigned, bp_at)
     return realigned, None
 
@@ -207,8 +209,8 @@ def prepare_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
     piles with no blocks.  Split out so a caller can batch MANY piles' DPs
     into one device call (ops/realign_dp.py)."""
     check_pile_traces(pile, tspace)
-    Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0 = _pile_block_arrays(
-        A, pile, cache, tspace)
+    (Abuf, la, Bbuf, lb, blk_owner, blk_a0, blk_b0,
+     blk_d) = _pile_block_arrays(A, pile, cache, tspace)
     N = len(blk_a0)
     if N == 0:
         return None
@@ -237,9 +239,14 @@ def prepare_pile(A: np.ndarray, pile: List[Overlap], cache: ReadCache,
                 st[reps] + within * a - blk_a0[reps]   # local block coords
         col_base += cnt
     # padded slots recompute x=0 (cheap, ignored on write-back)
+    # banded-DP half-width per block: the trace diff count d_j upper-bounds
+    # the true edit distance (the producing aligner realized an alignment
+    # with d_j differences), so band = d_j + slack is always exact; the C++
+    # kernel additionally verifies and falls back per problem [PINNED: the
+    # bpos rule is band-invariant]
     return {"Abuf": Abuf, "la": la, "Bbuf": Bbuf, "lb": lb, "X": X,
             "cnt_tot": cnt_tot, "blk_owner": blk_owner, "blk_a0": blk_a0,
-            "blk_b0": blk_b0}
+            "blk_b0": blk_b0, "band": blk_d + 8}
 
 
 def finish_pile(prep: dict, pile: List[Overlap],

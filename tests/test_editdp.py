@@ -161,3 +161,40 @@ def test_native_ops_count_matches_numpy():
     got = batch_ops_count(A, la, B, lb)
     _, _, ops = batch_realign(A, la, B, lb, want_ops=True)
     assert np.array_equal(got, ops.sum(axis=0))
+
+
+def test_batch_bpos_at_banded_identical():
+    """Banded C++ bpos == full-DP bpos for ANY band (fallback covers
+    saturated bands); bands from block diffs are the production path."""
+    import numpy as np
+
+    from daccord_tpu.align.editdp import PAD, batch_bpos_at
+    rng = np.random.default_rng(17)
+    N, LA, LB, PX = 64, 110, 125, 6
+    A = rng.integers(0, 4, size=(N, LA)).astype(np.uint8)
+    B = np.full((N, LB), PAD, np.uint8)
+    la = rng.integers(60, LA + 1, size=N).astype(np.int64)
+    lb = np.zeros(N, np.int64)
+    for n in range(N):
+        # B = A with ~15% errors (realistic trace-block regime)
+        src = A[n, :la[n]]
+        out = []
+        for ch in src:
+            r = rng.random()
+            if r < 0.05:
+                continue
+            if r < 0.10:
+                out.append(rng.integers(0, 4))
+            out.append(ch)
+        lb[n] = min(len(out), LB)
+        B[n, :lb[n]] = np.array(out[:lb[n]], np.uint8)
+    X = np.sort(rng.integers(0, la[:, None] + 1, size=(N, PX)), axis=1)
+    full = batch_bpos_at(A, la, B, lb, X, nthreads=2)
+    for band_val in (0, 2, 8, 30, 200):
+        band = np.full(N, band_val, np.int64)
+        got = batch_bpos_at(A, la, B, lb, X, nthreads=2, band=band)
+        assert np.array_equal(got, full), f"band={band_val} differs"
+    # mixed per-problem bands
+    band = rng.integers(0, 40, size=N).astype(np.int64)
+    got = batch_bpos_at(A, la, B, lb, X, nthreads=2, band=band)
+    assert np.array_equal(got, full)
