@@ -285,7 +285,8 @@ def _build_tables(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
 
 def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         *, k: int, t_lo: int, t_hi: int, g_step: int, dp_impl: str,
-        pbw=None, pbw_band: int = -1, edges_layout: str = ""):
+        pbw=None, pbw_band: int = -1, edges_layout: str = "",
+        cnt_bound: int = -1):
     """Stage 2: max-plus heaviest-path DP.
 
     edges: per-step-bin edge tables from _build_tables — int32
@@ -319,7 +320,7 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
             pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu",
-            fuse_tb=fuse_tb)
+            fuse_tb=fuse_tb, cnt_bound=cnt_bound)
         return ("cyc_fused" if fuse_tb else "cyc", bpp), ends, endok
     ecnb = edges
     NBT = ecnb.shape[1]
@@ -542,7 +543,7 @@ def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
             byte = (rows * ohc).sum(axis=-1).astype(jnp.int32)    # [B, nT]
         else:
             byte = bpp[:, g][b_idx, r, c].astype(jnp.int32)       # [B, nT]
-        cc = (byte >> (2 * field)) & 3
+        cc = 3 - ((byte >> (2 * field)) & 3)   # bp fields hold 3 - c
         act = tt <= Ts
         bases_cols[tt - 1] = jnp.where(act, (v & 3), 0).astype(jnp.uint8)
         v = jnp.where(act, cc * (4 ** (k - 1)) + (v >> 2), v)
@@ -701,7 +702,9 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                                      t_hi=t_hi, g_step=g_step,
                                      dp_impl=dp_impl,
                                      pbw=pbw if use_cyc else None,
-                                     pbw_band=pbw_band, edges_layout=layout)
+                                     pbw_band=pbw_band, edges_layout=layout,
+                                     cnt_bound=(S.shape[1] * pos_bin
+                                                if layout == "codes" else -1))
     if t_lo == 0:
         # oracle fails a window with no observed (k+1)-mer edges outright,
         # even when a T=0 source-only candidate would be eligible

@@ -288,18 +288,20 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     else:
         ewp_refs = refs[:h]
         rest = refs[h:]
+    # trailing scratch refs, in order: [hscr (codes)] [bps (fuse_tb)] end
+    end_scr = rest[-1]
     if fuse_tb:
-        # backpointers live in the trailing scratch ref, not an output
         eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest[:5]
-        bps_scr = rest[-1]
+        bps_scr = rest[-2]
         if codes_mode:
             hscr_ref = rest[5]
     else:
         if codes_mode:
             (eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref,
-             hscr_ref) = rest
+             hscr_ref) = rest[:-1]
         else:
-            eligp_ref, score0_ref, natp_ref, bpp_ref, meta_ref = rest
+            (eligp_ref, score0_ref, natp_ref, bpp_ref,
+             meta_ref) = rest[:-1]
     R, C = 4 ** (k - h), 4 ** h
     gsz = h
     nG = pl.cdiv(t_hi, gsz)
@@ -329,16 +331,22 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
     sc = score0_ref[0]                       # [R, C] std layout (== natural)
     if mix:
-        # mix-path sentinels: the in-kernel tables hold EW_INVALID at
-        # absent edges, so the step is a bare add+max; remap score0's NEG
-        # to NEG_K (valid scores are >= 0 in both domains, so every
-        # classification below is unchanged — see module constants)
-        negs, neghs, key_t = NEG_K, NEG_HALF_K, KEY_T
-        sc = jnp.where(sc > NEG_HALF, sc, NEG_K)
-        # hoisted mix constants: per-row priority 3-c and its clamped-key
-        # ceiling (computed once, reused by every (phase, bin) refresh)
+        # mix-path state is PRE-SHIFTED (sc4 = score << 2, the "key domain"
+        # minus the priority bits): the DP step is then a bare add+max with
+        # no per-step <<2 / >>2 converts — sc4_next = key & ~3 strips the
+        # priority bits in place.  Sentinels: invalid state = EW_INVALID
+        # (-2^28; adding a valid table entry < 2^18 keeps it < KEY_T, and
+        # invalid+invalid = -2^29 cannot underflow).  Valid sc4 < 2^23
+        # (cumulative clamped weights * 4), so all thresholds below hold.
+        negs, neghs, key_t = EW_INVALID, KEY_T, KEY_T
+        sc = jnp.where(sc > NEG_HALF, sc << 2, EW_INVALID)
+        # hoisted mix constants: per-row priority 3-c (as f32 for the folded
+        # pack) and its clamped-key ceiling CLAMP*4 + pr (computed once,
+        # reused by every (phase, bin) refresh)
         kshape = (16, 4 ** (k - 1 - h), 4 ** h)
-        pr_tab = 3 - (jax.lax.broadcasted_iota(jnp.int32, kshape, 0) >> 2)
+        prf_tab = (3 - (jax.lax.broadcasted_iota(jnp.int32, kshape, 0) >> 2)
+                   ).astype(jnp.float32)
+        prc_tab = prf_tab + float(PBW_CLAMP * 4)
     else:
         negs, neghs, key_t = NEG, NEG_HALF, NEG_HALF
     bp_acc = None
@@ -376,9 +384,11 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # packed-key max-plus step: key = score*4 + count*4 + (3-c); a pure
         # 4-way max replaces the compare/select/backpointer bookkeeping
         # (among equal scores the largest 3-c, i.e. smallest c, wins — the
-        # scan path's first-max tie rule).  NEG<<2 == INT32_MIN exactly;
-        # adding a packed table entry (< 2^16) keeps it far below NEG_HALF.
-        sc4 = sc << 2
+        # scan path's first-max tie rule).  The mix path's state is already
+        # pre-shifted (sc4 domain) so no per-step shift is needed; the u16
+        # path shifts here (NEG<<2 == INT32_MIN exactly; adding a packed
+        # table entry < 2^16 keeps it far below NEG_HALF).
+        sc4 = sc if mix else (sc << 2)
         scv = sc4.reshape(A, 4, Bv, L)
         ph = q % h
         if mix:
@@ -400,12 +410,16 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                          else W + Hi.astype(jnp.float32) * scal)
                 if W is None:       # band window misses every position bin
                     W = jnp.zeros(kshape, jnp.float32)
-                Wi = jnp.minimum(W.astype(jnp.int32), PBW_CLAMP)
-                # absent edges pre-biased to EW_INVALID: the step below is
-                # then a bare add+max (2 VPU ops per (c, bb) instead of the
-                # u16 path's widen+compare+add+select+max)
-                key_tab[ph] = jnp.where(Wi > 0, (Wi << 2) + pr_tab,
-                                        EW_INVALID)
+                # folded f32 pack: min(W, CLAMP)*4 + pr == min(W*4 + pr,
+                # CLAMP*4 + pr) — one FMA + one min, integer-exact in f32
+                # (W*4 + pr <= 4*CLAMP + 3 < 2^24).  Validity W >= 1 <=>
+                # W*4 + pr > 3.5 (W, pr integer-valued, pr <= 3).  Absent
+                # edges pre-biased to EW_INVALID: the DP step is then a
+                # bare add+max per (c, bb).
+                Wf4 = W * 4.0 + prf_tab
+                key_tab[ph] = jnp.where(Wf4 > 3.5,
+                                        jnp.minimum(Wf4, prc_tab),
+                                        float(EW_INVALID)).astype(jnp.int32)
                 key_bin[ph] = jbin
             ew = key_tab[ph]                  # [16, 4^(k-1-h), 4^h] i32
         else:
@@ -426,9 +440,22 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 best = cand if best is None else jnp.maximum(best, cand)
             keys.append(best)
         key = jnp.stack(keys, axis=1).reshape(sc.shape)
-        sc = jnp.where(key > key_t, key >> 2, negs)
-        bpn = 3 - (key & 3)                   # = c at valid positions
-        bp_acc = bp_acc | (bpn << (2 * field))
+        if mix:
+            # stay in the sc4 domain: clamp-from-below + strip the priority
+            # bits (max+and, vs compare/select/shift).  Invalid states are
+            # no longer pinned to EXACTLY negs — they live in
+            # [EW_INVALID, EW_INVALID + 2^19), always < KEY_T, never
+            # underflowing (the max re-clamps every step), and every
+            # consumer only tests `> KEY_T` / ok-ness, never equality with
+            # negs at valid windows.
+            sc = jnp.maximum(key, negs) & -4
+        else:
+            sc = jnp.where(key > key_t, key >> 2, negs)
+        # backpointer field stores the RAW priority key & 3 == 3 - c; the
+        # tracebacks (in-kernel and consensus_step._traceback_cyc) invert
+        # with one tiny op on their [*, nT]-sized state instead of a full
+        # [R, C] pass per DP step here
+        bp_acc = bp_acc | ((key & 3) << (2 * field))
 
         if field == gsz - 1 or tt == t_hi:
             if fuse_tb:
@@ -439,20 +466,49 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 bpp_ref[0, g] = bp_acc.astype(jnp.int16)
 
         if tt >= t_lo and not ("noend" in ab and tt != t_hi):
-            nat = natp_ref[q % h]
-            eligm = eligp_ref[0, q % h] != 0
-            masked = jnp.where(eligm, sc, negs)
-            mx = jnp.max(masked)
-            ok = mx > neghs
-            natsel = jnp.where(eligm & (sc == mx), nat, 4 ** k)
-            endnat = jnp.where(ok, jnp.min(natsel), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            sel = lane == (tt - t_lo)
-            meta_ref[0, 0:1, :] = jnp.where(sel, endnat, meta_ref[0, 0:1, :])
-            meta_ref[0, 1:2, :] = jnp.where(sel, ok.astype(jnp.int32),
-                                            meta_ref[0, 1:2, :])
+            # DEFERRED end-picking: snapshot the post-step scores to VMEM
+            # scratch (one copy) instead of running two global max/min
+            # reduces + masking inline in the sequential DP chain; the
+            # reductions run batched per phase group after the loop.
+            end_scr[tt - t_lo] = sc
+
+    # ---- deferred end-picking: one batched reduction pass per phase
+    # group.  Steps sharing q % h share the eligibility mask and the
+    # physical->natural map, so their saved [R, C] scores stack into one
+    # [G, R, C] tensor and the global max / tie-min-natural reduce runs as
+    # TWO axis reductions per group instead of 2*nT scalar-reduce chains
+    # interleaved with the DP.  Semantics identical: mx == old per-step
+    # max; (masked == mx) == old (eligm & (sc == mx)) at ok steps, and at
+    # not-ok steps endnat is forced to 0 either way.
+    nT_all = t_hi - t_lo + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    meta0 = jnp.zeros((1, 128), jnp.int32)
+    meta1 = jnp.zeros((1, 128), jnp.int32)
+    for ph in range(h):
+        s_list = [s for s in range(nT_all)
+                  if ((k - (t_lo + s)) % k) % h == ph]
+        if "noend" in ab:
+            s_list = [s for s in s_list if s == nT_all - 1]
+        if not s_list:
+            continue
+        msc = jnp.stack([end_scr[s] for s in s_list])       # [G, R, C]
+        eligm = eligp_ref[0, ph] != 0
+        masked = jnp.where(eligm[None], msc, negs)
+        mxg = jnp.max(jnp.max(masked, axis=2), axis=1)      # [G]
+        natsel = jnp.where(masked == mxg[:, None, None],
+                           natp_ref[ph][None], 4 ** k)
+        mng = jnp.min(jnp.min(natsel, axis=2), axis=1)      # [G]
+        okg = mxg > neghs
+        endg = jnp.where(okg, mng, 0).reshape(len(s_list), 1)
+        okg2 = okg.astype(jnp.int32).reshape(len(s_list), 1)
+        for i, s in enumerate(s_list):
+            sel = lane == s
+            meta0 = jnp.where(sel, endg[i], meta0)
+            meta1 = jnp.where(sel, okg2[i], meta1)
             if fuse_tb:
-                endv = jnp.where(subl == (tt - t_lo), endnat, endv)
+                endv = jnp.where(subl == s, endg[i], endv)
+    meta_ref[0, 0:1, :] = meta0
+    meta_ref[0, 1:2, :] = meta1
 
     if fuse_tb and "notb" in ab:
         bpp_ref[0] = jnp.zeros_like(bpp_ref[0])
@@ -490,7 +546,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             ohc = (ciota2 == c).astype(jnp.float32)
             byte = jnp.sum(rows2 * ohc, axis=1,
                            keepdims=True).astype(jnp.int32)  # [TT, 1]
-            cc2 = (byte >> (2 * field)) & 3
+            cc2 = 3 - ((byte >> (2 * field)) & 3)   # fields hold 3 - c
             act = subl >= (tt - t_lo)                        # tt <= T
             base = jnp.where(act, v & 3, 0)
             acc = jnp.where(colio == (k + tt - 1), base, acc)
@@ -506,13 +562,14 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "pbw_band", "interpret",
                                              "transpose_impl", "fuse_tb",
-                                             "ablate"))
+                                             "ablate", "cnt_bound"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu",
-               fuse_tb: bool = False, ablate: str = ""):
+               fuse_tb: bool = False, ablate: str = "",
+               cnt_bound: int = -1):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -576,7 +633,15 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
             main_in = (rows, cols)
             main_specs = (code_spec, code_spec)
             s = (k + 2) // 2
-            scr_dt = jnp.float32 if gp > 256 else jnp.bfloat16
+            # histogram scratch dtype by the exact per-bin count bound
+            # (cnt_bound = D1 * pos_bin positions per position-bin when the
+            # caller knows it; the padded gp otherwise): int8 halves the
+            # bf16 VMEM read traffic of the in-kernel mix, the dominant
+            # stream of each table refresh.  All dtypes are exact for
+            # counts within their integer range.
+            bound = cnt_bound if cnt_bound >= 0 else gp
+            scr_dt = (jnp.int8 if bound <= 127 else
+                      jnp.bfloat16 if bound <= 256 else jnp.float32)
             scratch_shapes = [pltpu.VMEM(
                 (h, nbp, 4 ** s, 4 ** (k + 1 - s)), scr_dt)]
         else:
@@ -616,6 +681,9 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
         out0_shape = jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16)
         out0_spec = pl.BlockSpec((1, nG, R, C), lambda b: (b, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
+    # deferred end-picking snapshot buffer (one [R, C] score copy per
+    # candidate step; ~nT * 256KB at k=8 — well within the VMEM budget)
+    scratch_shapes = scratch_shapes + [pltpu.VMEM((nT, R, C), jnp.int32)]
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
                           g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
