@@ -212,10 +212,12 @@ def main():
     # best of two timed passes: the tunneled single-chip link adds +-30%
     # run-to-run noise; the faster pass is the steady-state throughput
     rps = 0.0
+    passes = []
     for it in range(2):
         t0 = time.time()
         recs, stats = run_tpu(db, las, cfg)
         dt = time.time() - t0
+        passes.append(round(stats.reads / dt, 3))
         rps = max(rps, stats.reads / dt)
         wps = stats.windows / dt
         log(f"bench: TPU pipeline pass {it + 1}: {stats.reads} reads / "
@@ -235,6 +237,10 @@ def main():
         "cpu_cores": ncores,
         "oracle_reads_per_s": round(oracle_rps, 3),
         "vs_oracle_proxy": round(vs_proxy, 3),
+        # the tunneled single-chip link adds +-30% run-to-run noise;
+        # `value` is the best pass, `passes` records the full distribution
+        # so environment-specific conclusions can be re-validated cheaply
+        "passes": passes,
     }), flush=True)
 
 

@@ -314,13 +314,19 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         # unless the 'xtb' ablation (XLA-side traceback) is requested or
         # t_hi won't fit the candidate block
         fuse_tb = "xtb" not in dp_impl and k + t_hi <= 128
+        # windows per grid step: 2 by default (the sequential DP chain is
+        # scheduling-bound at [R, C] widths; batching two windows widens
+        # every VPU op — bit-identical per window).  '_w1'/'_w4' dp_impl
+        # tokens override for ablation; odd batch sizes fall back to 1
+        # inside cyc_dbg_dp.
+        wpg = 1 if "_w1" in dp_impl else 4 if "_w4" in dp_impl else 2
         bpp, ends, endok = cyc_dbg_dp(
             ewps, src, snk, pbw, codes,
             k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu",
-            fuse_tb=fuse_tb, cnt_bound=cnt_bound)
+            fuse_tb=fuse_tb, cnt_bound=cnt_bound, wpg=wpg)
         return ("cyc_fused" if fuse_tb else "cyc", bpp), ends, endok
     ecnb = edges
     NBT = ecnb.shape[1]

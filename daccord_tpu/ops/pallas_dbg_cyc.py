@@ -214,11 +214,15 @@ def _natmaps(k: int):
 
 
 def _transpose(sc, impl: str, neg: int = NEG):
-    """Exact int32 2D transpose. 'xlu': native; 'mxu': dot_general vs
-    identity in f32 (the `neg` sentinel remapped to NEG_F32 across the
-    matmul and restored after — NEG_K is likewise f32-exact)."""
+    """Exact int32 2D transpose of the trailing two axes (leading batch
+    axes allowed). 'xlu': native; 'mxu': dot_general vs identity in f32
+    (the `neg` sentinel remapped to NEG_F32 across the matmul and restored
+    after — all mix-domain sentinels are f32-exact)."""
     if impl == "xlu":
-        return jnp.swapaxes(sc, 0, 1)
+        return jnp.swapaxes(sc, -1, -2)
+    if sc.ndim == 3:                     # per-window MXU dots (no batched
+        return jnp.stack([_transpose(sc[w], impl, neg)   # Mosaic dots)
+                          for w in range(sc.shape[0])])
     n0, n1 = sc.shape
     scm = jnp.where(sc > -(2 ** 22), sc, NEG_F32).astype(jnp.float32)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n0, n0), 0)
@@ -234,7 +238,7 @@ def _transpose(sc, impl: str, neg: int = NEG):
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 nbp: int, pbw_band: int, transpose_impl: str,
                 codes_mode: bool = False, gp: int = 0, interp: bool = False,
-                fuse_tb: bool = False, ablate: str = ""):
+                fuse_tb: bool = False, ablate: str = "", wpg: int = 1):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
     at step-bin boundaries — the XLA mix materializes its f32 dot output to
@@ -271,7 +275,16 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     intentionally wrong; never set in production).  '+'-joined subset of
     {noend: end-picking only at the last step; mix1: mixed tables built for
     bin 0 only and reused; hist1: histograms built for position-bin 0 only;
-    notb: skip the fused traceback walk}."""
+    notb: skip the fused traceback walk}.
+
+    wpg: windows per grid step.  The sequential t_hi-step DP chain has only
+    [R, C] (~64 VPU tiles at k=8) of parallelism per op — measured ~1.2
+    tile-ops/issue-slot, i.e. scheduling/latency-bound.  Batching wpg
+    windows gives every op a leading W axis (W*[R, C] wide), amortizing the
+    dependency chain across windows.  All per-window blocks/scratch gain a
+    leading wpg dim; MXU dots (histograms, traceback row-selects) stay
+    per-window loops (same count per window — Mosaic batched dots are not
+    relied on).  Results are bit-identical per window for any wpg."""
     ab = set(ablate.split("+")) if ablate else set()
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     h = k // 2
@@ -308,28 +321,29 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     key_tab = [None] * h                     # per-phase mixed tables (VMEM)
     key_bin = [None] * h                     # static unroll-time bin tags
 
+    W_ = wpg
     if codes_mode:
-        # build every (phase, position-bin) histogram once, up front: a
-        # one-hot MXU dot per table.  Operands are 0/1 (bf16-exact; f32 in
-        # interpret mode — the CPU backend rejects bf16 dots at dispatch);
-        # accumulation is f32, exact for any integer count < 2^24.  The
-        # scratch dtype is bf16 only when counts are provably <= 256
-        # (gp <= 256; counts are bounded by the valid positions per bin).
+        # build every (window, phase, position-bin) histogram once, up
+        # front: a one-hot MXU dot per table.  Operands are 0/1 (bf16-exact;
+        # f32 in interpret mode — the CPU backend rejects bf16 dots at
+        # dispatch); accumulation is f32, exact for any integer count
+        # < 2^24.  Scratch dtype from the exact count bound (see caller).
         s = (k + 2) // 2
         NR, CW = 4 ** s, 4 ** (k + 1 - s)
         odt = jnp.float32 if interp else jnp.bfloat16
         riota = jax.lax.broadcasted_iota(jnp.int32, (NR, gp), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (CW, gp), 0)
-        for ph in range(h):
-            for n in range(1 if "hist1" in ab else nbp):
-                ohr = (riota == rows_ref[0, ph, n:n + 1]).astype(odt)
-                ohc = (ciota == cols_ref[0, ph, n:n + 1]).astype(odt)
-                Hf = jax.lax.dot_general(
-                    ohr, ohc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                hscr_ref[ph, n] = Hf.astype(hscr_ref.dtype)
+        for w in range(W_):
+            for ph in range(h):
+                for n in range(1 if "hist1" in ab else nbp):
+                    ohr = (riota == rows_ref[w, ph, n:n + 1]).astype(odt)
+                    ohc = (ciota == cols_ref[w, ph, n:n + 1]).astype(odt)
+                    Hf = jax.lax.dot_general(
+                        ohr, ohc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    hscr_ref[w, ph, n] = Hf.astype(hscr_ref.dtype)
 
-    sc = score0_ref[0]                       # [R, C] std layout (== natural)
+    sc = score0_ref[:]                 # [W, R, C] std layout (== natural)
     if mix:
         # mix-path state is PRE-SHIFTED (sc4 = score << 2, the "key domain"
         # minus the priority bits): the DP step is then a bare add+max with
@@ -343,8 +357,8 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # hoisted mix constants: per-row priority 3-c (as f32 for the folded
         # pack) and its clamped-key ceiling CLAMP*4 + pr (computed once,
         # reused by every (phase, bin) refresh)
-        kshape = (16, 4 ** (k - 1 - h), 4 ** h)
-        prf_tab = (3 - (jax.lax.broadcasted_iota(jnp.int32, kshape, 0) >> 2)
+        kshape = (W_, 16, 4 ** (k - 1 - h), 4 ** h)
+        prf_tab = (3 - (jax.lax.broadcasted_iota(jnp.int32, kshape, 1) >> 2)
                    ).astype(jnp.float32)
         prc_tab = prf_tab + float(PBW_CLAMP * 4)
     else:
@@ -361,7 +375,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         nT_k = t_hi - t_lo + 1
         TT = min(128, -(-nT_k // 32) * 32)
         subl = jax.lax.broadcasted_iota(jnp.int32, (TT, 1), 0)
-        endv = jnp.zeros((TT, 1), jnp.int32)
+        endv = jnp.zeros((W_, TT, 1), jnp.int32)
 
     for tt in range(1, t_hi + 1):
         jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
@@ -380,7 +394,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             A, Bv = 4 ** (k - 1 - q), 4 ** (q - h)
         else:
             A, Bv = 4 ** (h - 1 - q), 4 ** q
-        L = sc.shape[1]
+        L = sc.shape[-1]
         # packed-key max-plus step: key = score*4 + count*4 + (3-c); a pure
         # 4-way max replaces the compare/select/backpointer bookkeeping
         # (among equal scores the largest 3-c, i.e. smallest c, wins — the
@@ -389,7 +403,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # path shifts here (NEG<<2 == INT32_MIN exactly; adding a packed
         # table entry < 2^16 keeps it far below NEG_HALF).
         sc4 = sc if mix else (sc << 2)
-        scv = sc4.reshape(A, 4, Bv, L)
+        scv = sc4.reshape(W_, A, 4, Bv, L)
         ph = q % h
         if mix:
             if key_bin[ph] != jbin:          # static: refresh once per bin
@@ -397,15 +411,23 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 # pbw_band (host-verified; the drifted-walk kernel is
                 # tridiagonal at realistic rates), so those terms are
                 # skipped statically — exact, any summation order of
-                # integer-exact f32 terms gives the same sum
+                # integer-exact f32 terms gives the same sum.  pbw_ref is
+                # [1, ...] (shared table, broadcast over windows) or
+                # [wpg, ...] (per-window tables).
+                pshared = pbw_ref.shape[0] == 1
                 W = None
                 for i in range(max(0, jbin - pbw_band),
                                min(nbp - 1, jbin + pbw_band) + 1):
-                    scal = pbw_ref[0, i, jbin].astype(jnp.float32)
-                    if codes_mode:
-                        Hi = hscr_ref[ph, i].reshape(kshape)
+                    if pshared:
+                        scal = pbw_ref[0, i, jbin].astype(jnp.float32)
                     else:
-                        Hi = ewp_refs[ph][0, i]
+                        scal = jnp.stack(
+                            [pbw_ref[w, i, jbin] for w in range(W_)]
+                        ).astype(jnp.float32).reshape(W_, 1, 1, 1)
+                    if codes_mode:
+                        Hi = hscr_ref[:, ph, i].reshape(kshape)
+                    else:
+                        Hi = ewp_refs[ph][:, i]
                     W = (Hi.astype(jnp.float32) * scal if W is None
                          else W + Hi.astype(jnp.float32) * scal)
                 if W is None:       # band window misses every position bin
@@ -421,25 +443,27 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                                         jnp.minimum(Wf4, prc_tab),
                                         float(EW_INVALID)).astype(jnp.int32)
                 key_bin[ph] = jbin
-            ew = key_tab[ph]                  # [16, 4^(k-1-h), 4^h] i32
+            ew = key_tab[ph]              # [W, 16, 4^(k-1-h), 4^h] i32
         else:
-            ew = ewp_refs[ph][0, jbin]        # [16, 4^(k-1-h), 4^h] u16
+            ew = ewp_refs[ph][:, jbin]    # [W, 16, 4^(k-1-h), 4^h] u16
 
         keys = []
         for bb in range(4):
             best = None
             for c in range(4):
                 if mix:
-                    cand = scv[:, c] + ew[c * 4 + bb].reshape(A, Bv, L)
+                    cand = (scv[:, :, c]
+                            + ew[:, c * 4 + bb].reshape(W_, A, Bv, L))
                 else:
                     # widen u16 -> i32 BEFORE comparing (v5e Mosaic has no
                     # 16-bit compare: "Target does not support this
                     # comparison")
-                    wv = ew[c * 4 + bb].reshape(A, Bv, L).astype(jnp.int32)
-                    cand = jnp.where(wv > 0, scv[:, c] + wv, NEG)
+                    wv = (ew[:, c * 4 + bb].reshape(W_, A, Bv, L)
+                          .astype(jnp.int32))
+                    cand = jnp.where(wv > 0, scv[:, :, c] + wv, NEG)
                 best = cand if best is None else jnp.maximum(best, cand)
             keys.append(best)
-        key = jnp.stack(keys, axis=1).reshape(sc.shape)
+        key = jnp.stack(keys, axis=2).reshape(sc.shape)
         if mix:
             # stay in the sc4 domain: clamp-from-below + strip the priority
             # bits (max+and, vs compare/select/shift).  Invalid states are
@@ -459,11 +483,11 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 
         if field == gsz - 1 or tt == t_hi:
             if fuse_tb:
-                bps_scr[g] = bp_acc                  # VMEM only, i32
+                bps_scr[:, g] = bp_acc               # VMEM only, i32
             else:
                 # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp
                 # write traffic (and the XLA-side traceback's convert)
-                bpp_ref[0, g] = bp_acc.astype(jnp.int16)
+                bpp_ref[:, g] = bp_acc.astype(jnp.int16)
 
         if tt >= t_lo and not ("noend" in ab and tt != t_hi):
             # DEFERRED end-picking: snapshot the post-step scores to VMEM
@@ -481,9 +505,9 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     # max; (masked == mx) == old (eligm & (sc == mx)) at ok steps, and at
     # not-ok steps endnat is forced to 0 either way.
     nT_all = t_hi - t_lo + 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    meta0 = jnp.zeros((1, 128), jnp.int32)
-    meta1 = jnp.zeros((1, 128), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    meta0 = jnp.zeros((W_, 1, 128), jnp.int32)
+    meta1 = jnp.zeros((W_, 1, 128), jnp.int32)
     for ph in range(h):
         s_list = [s for s in range(nT_all)
                   if ((k - (t_lo + s)) % k) % h == ph]
@@ -491,40 +515,42 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             s_list = [s for s in s_list if s == nT_all - 1]
         if not s_list:
             continue
-        msc = jnp.stack([end_scr[s] for s in s_list])       # [G, R, C]
-        eligm = eligp_ref[0, ph] != 0
+        msc = jnp.stack([end_scr[s] for s in s_list])    # [G, W, R, C]
+        eligm = eligp_ref[:, ph] != 0                    # [W, R, C]
         masked = jnp.where(eligm[None], msc, negs)
-        mxg = jnp.max(jnp.max(masked, axis=2), axis=1)      # [G]
-        natsel = jnp.where(masked == mxg[:, None, None],
-                           natp_ref[ph][None], 4 ** k)
-        mng = jnp.min(jnp.min(natsel, axis=2), axis=1)      # [G]
+        mxg = jnp.max(jnp.max(masked, axis=3), axis=2)   # [G, W]
+        natsel = jnp.where(masked == mxg[:, :, None, None],
+                           natp_ref[ph][None, None], 4 ** k)
+        mng = jnp.min(jnp.min(natsel, axis=3), axis=2)   # [G, W]
         okg = mxg > neghs
-        endg = jnp.where(okg, mng, 0).reshape(len(s_list), 1)
-        okg2 = okg.astype(jnp.int32).reshape(len(s_list), 1)
+        endg = jnp.where(okg, mng, 0)                    # [G, W]
+        okg2 = okg.astype(jnp.int32)
         for i, s in enumerate(s_list):
             sel = lane == s
-            meta0 = jnp.where(sel, endg[i], meta0)
-            meta1 = jnp.where(sel, okg2[i], meta1)
+            ei = endg[i].reshape(W_, 1, 1)
+            meta0 = jnp.where(sel, ei, meta0)
+            meta1 = jnp.where(sel, okg2[i].reshape(W_, 1, 1), meta1)
             if fuse_tb:
-                endv = jnp.where(subl == s, endg[i], endv)
-    meta_ref[0, 0:1, :] = meta0
-    meta_ref[0, 1:2, :] = meta1
+                endv = jnp.where(subl[None] == s, ei, endv)
+    meta_ref[:, 0:1, :] = meta0
+    meta_ref[:, 1:2, :] = meta1
 
     if fuse_tb and "notb" in ab:
-        bpp_ref[0] = jnp.zeros_like(bpp_ref[0])
+        bpp_ref[:] = jnp.zeros_like(bpp_ref)
     elif fuse_tb:
-        # ---- in-kernel traceback (see docstring).  All state is
-        # sublane-major [128, 1] (sublane s = candidate T - t_lo); byte
-        # lookups are one-hot dots against the VMEM backpointer groups.
-        # Semantics identical to consensus_step._traceback_cyc.
+        # ---- in-kernel traceback (see docstring).  Walk state is
+        # [W, TT, 1] (sublane s = candidate T - t_lo); byte lookups are
+        # one-hot dots against the VMEM backpointer groups (looped per
+        # window — the elementwise state ops batch over W).  Semantics
+        # identical to consensus_step._traceback_cyc.
         std_o, tr_o = _orders(k)
         odt2 = jnp.float32 if interp else jnp.bfloat16
         Rr, Cc = bps_scr.shape[-2], bps_scr.shape[-1]
         riota2 = jax.lax.broadcasted_iota(jnp.int32, (TT, Rr), 1)
-        ciota2 = jax.lax.broadcasted_iota(jnp.int32, (TT, Cc), 1)
-        colio = jax.lax.broadcasted_iota(jnp.int32, (TT, 128), 1)
-        v = endv
-        acc = jnp.zeros((TT, 128), jnp.int32)
+        ciota2 = jax.lax.broadcasted_iota(jnp.int32, (1, TT, Cc), 2)
+        colio = jax.lax.broadcasted_iota(jnp.int32, (1, TT, 128), 2)
+        v = endv                                             # [W, TT, 1]
+        acc = jnp.zeros((W_, TT, 128), jnp.int32)
         for tt in range(t_hi, 0, -1):
             q = (k - tt) % k
             std = q >= h
@@ -535,19 +561,23 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             for p, s2 in enumerate(order):
                 i = (s2 - q) % k
                 phys = phys | (((v >> (2 * i)) & 3) << (2 * (k - 1 - p)))
-            r = phys >> (2 * ncol)
+            r = phys >> (2 * ncol)                           # [W, TT, 1]
             c = phys & ((1 << (2 * ncol)) - 1)
             # group bytes < 2^(2*gsz) <= 256 are bf16-exact; one-hot
             # products/sums exact in f32
-            ohr = (riota2 == r).astype(odt2)                 # [TT, R]
-            rows2 = jax.lax.dot_general(
-                ohr, bps_scr[g].astype(odt2), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [TT, C]
+            rows2 = []
+            for w in range(W_):
+                ohr = (riota2 == r[w]).astype(odt2)          # [TT, R]
+                rows2.append(jax.lax.dot_general(
+                    ohr, bps_scr[w, g].astype(odt2),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # [TT, C]
+            rows2 = jnp.stack(rows2)                         # [W, TT, C]
             ohc = (ciota2 == c).astype(jnp.float32)
-            byte = jnp.sum(rows2 * ohc, axis=1,
-                           keepdims=True).astype(jnp.int32)  # [TT, 1]
+            byte = jnp.sum(rows2 * ohc, axis=2,
+                           keepdims=True).astype(jnp.int32)  # [W, TT, 1]
             cc2 = 3 - ((byte >> (2 * field)) & 3)   # fields hold 3 - c
-            act = subl >= (tt - t_lo)                        # tt <= T
+            act = subl[None] >= (tt - t_lo)                  # tt <= T
             base = jnp.where(act, v & 3, 0)
             acc = jnp.where(colio == (k + tt - 1), base, acc)
             v = jnp.where(act, cc2 * (4 ** (k - 1)) + (v >> 2), v)
@@ -556,20 +586,20 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # rows beyond nT are never read by the caller (slices tb[:, :nT]);
         # TT is a multiple of the int8 sublane granule (32) so the partial
         # write is tile-aligned.  Rows [TT, 128) stay unwritten garbage.
-        bpp_ref[0, :TT] = acc.astype(bpp_ref.dtype)
+        bpp_ref[:, :TT] = acc.astype(bpp_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "pbw_band", "interpret",
                                              "transpose_impl", "fuse_tb",
-                                             "ablate", "cnt_bound"))
+                                             "ablate", "cnt_bound", "wpg"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu",
                fuse_tb: bool = False, ablate: str = "",
-               cnt_bound: int = -1):
+               cnt_bound: int = -1, wpg: int = 1):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -607,6 +637,8 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     nG = -(-t_hi // gsz)
     nT = t_hi - t_lo + 1
     assert nT <= 128
+    if B % wpg != 0:
+        wpg = 1                      # odd tails fall back to one-per-step
 
     AA, CC = 4 ** (k - 1 - h), 4 ** h
     gp = 0
@@ -615,7 +647,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
         assert len(ewps) == h
         nbp = 0
         NBT = ewps[0].shape[1]
-        ew_spec = pl.BlockSpec((1, NBT, 16, AA, CC),
+        ew_spec = pl.BlockSpec((wpg, NBT, 16, AA, CC),
                                lambda b: (b, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         main_in, main_specs = tuple(ewps), (ew_spec,) * h
@@ -627,7 +659,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
             rows, cols = codes
             assert rows.shape[1] == h and cols.shape == rows.shape
             nbp, gp = rows.shape[2], rows.shape[3]
-            code_spec = pl.BlockSpec((1, h, nbp, gp),
+            code_spec = pl.BlockSpec((wpg, h, nbp, gp),
                                      lambda b: (b, 0, 0, 0),
                                      memory_space=pltpu.VMEM)
             main_in = (rows, cols)
@@ -643,11 +675,11 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
             scr_dt = (jnp.int8 if bound <= 127 else
                       jnp.bfloat16 if bound <= 256 else jnp.float32)
             scratch_shapes = [pltpu.VMEM(
-                (h, nbp, 4 ** s, 4 ** (k + 1 - s)), scr_dt)]
+                (wpg, h, nbp, 4 ** s, 4 ** (k + 1 - s)), scr_dt)]
         else:
             assert len(ewps) == h
             nbp = ewps[0].shape[1]
-            ew_spec = pl.BlockSpec((1, nbp, 16, AA, CC),
+            ew_spec = pl.BlockSpec((wpg, nbp, 16, AA, CC),
                                    lambda b: (b, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)
             main_in, main_specs = tuple(ewps), (ew_spec,) * h
@@ -658,7 +690,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                                     memory_space=pltpu.SMEM)
         else:
             pbw_in = pbw[:, :nbp, :nbt].astype(jnp.int32)
-            pbw_spec = pl.BlockSpec((1, nbp, nbt), lambda b: (b, 0, 0),
+            pbw_spec = pl.BlockSpec((wpg, nbp, nbt), lambda b: (b, 0, 0),
                                     memory_space=pltpu.SMEM)
         extra_in, extra_specs = (pbw_in,), (pbw_spec,)
 
@@ -673,39 +705,41 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
     if fuse_tb:
         assert k + t_hi <= 128, "fused traceback needs k + t_hi <= 128"
         scratch_shapes = scratch_shapes + [
-            pltpu.VMEM((nG, R, C), jnp.int32)]
+            pltpu.VMEM((wpg, nG, R, C), jnp.int32)]
         out0_shape = jax.ShapeDtypeStruct((B, 128, 128), jnp.uint8)
-        out0_spec = pl.BlockSpec((1, 128, 128), lambda b: (b, 0, 0),
+        out0_spec = pl.BlockSpec((wpg, 128, 128), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out0_shape = jax.ShapeDtypeStruct((B, nG, R, C), jnp.int16)
-        out0_spec = pl.BlockSpec((1, nG, R, C), lambda b: (b, 0, 0, 0),
+        out0_spec = pl.BlockSpec((wpg, nG, R, C), lambda b: (b, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-    # deferred end-picking snapshot buffer (one [R, C] score copy per
-    # candidate step; ~nT * 256KB at k=8 — well within the VMEM budget)
-    scratch_shapes = scratch_shapes + [pltpu.VMEM((nT, R, C), jnp.int32)]
+    # deferred end-picking snapshot buffer (one [W, R, C] score copy per
+    # candidate step; ~nT * wpg * 256KB at k=8 — within the VMEM budget)
+    scratch_shapes = scratch_shapes + [
+        pltpu.VMEM((nT, wpg, R, C), jnp.int32)]
     bpp, meta = pl.pallas_call(
         functools.partial(_cyc_kernel, k=k, t_lo=t_lo, t_hi=t_hi,
                           g_step=g_step, nbt=nbt, nbp=nbp, pbw_band=band,
                           transpose_impl=transpose_impl,
                           codes_mode=codes is not None, gp=gp,
-                          interp=interpret, fuse_tb=fuse_tb, ablate=ablate),
-        grid=(B,),
+                          interp=interpret, fuse_tb=fuse_tb, ablate=ablate,
+                          wpg=wpg),
+        grid=(B // wpg,),
         out_shape=(
             out0_shape,
             jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
         ),
         in_specs=list(main_specs) + list(extra_specs) + [
-            pl.BlockSpec((1, h, R, C), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((wpg, h, R, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpg, R, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, R, C), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             out0_spec,
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((wpg, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch_shapes,

@@ -42,7 +42,9 @@ def main():
     j_tables = jax.jit(lambda *a: cs._build_tables(
         *a, pbw, k=k, t_hi=t_hi, pos_bin=cfg.pos_bin, edges_layout="codes"))
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    import os
+    wpg = int(os.environ.get("ABLATE_WPG", "2"))
+    print(f"devices: {jax.devices()} wpg={wpg}", file=sys.stderr)
     for (B, D1) in [(256, 9), (256, 65)]:
         S, slen, nstr = synth_inputs(B, D1, cfg)
         src, snk, codes = j_tables(S, slen, nstr, plq_src, plq_snk)
@@ -51,8 +53,9 @@ def main():
                    "notb+noend+hist1"]:
             t = timeit(cyc_dbg_dp, None, src, snk, pbw, codes,
                        k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
-                       pbw_band=1, fuse_tb=True, ablate=ab)
-            print(f"B={B} D1={D1} ablate={ab or 'full':20s} "
+                       pbw_band=1, fuse_tb=True, ablate=ab,
+                       cnt_bound=D1 * cfg.pos_bin, wpg=wpg)
+            print(f"B={B} D1={D1} wpg={wpg} ablate={ab or 'full':20s} "
                   f"{t*1e3:7.2f}ms", flush=True)
 
 
