@@ -418,18 +418,22 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 W = None
                 for i in range(max(0, jbin - pbw_band),
                                min(nbp - 1, jbin + pbw_band) + 1):
-                    if pshared:
-                        scal = pbw_ref[0, i, jbin].astype(jnp.float32)
-                    else:
-                        scal = jnp.stack(
-                            [pbw_ref[w, i, jbin] for w in range(W_)]
-                        ).astype(jnp.float32).reshape(W_, 1, 1, 1)
                     if codes_mode:
                         Hi = hscr_ref[:, ph, i].reshape(kshape)
                     else:
                         Hi = ewp_refs[ph][:, i]
-                    W = (Hi.astype(jnp.float32) * scal if W is None
-                         else W + Hi.astype(jnp.float32) * scal)
+                    if pshared:
+                        scal = pbw_ref[0, i, jbin].astype(jnp.float32)
+                        term = Hi.astype(jnp.float32) * scal
+                    else:
+                        # per-window pbw: scalar multiply per window, then
+                        # stack (Mosaic rejects reshaping a [W] vector to
+                        # [W, 1, 1, 1] for a broadcast multiply)
+                        term = jnp.stack(
+                            [Hi[w].astype(jnp.float32)
+                             * pbw_ref[w, i, jbin].astype(jnp.float32)
+                             for w in range(W_)])
+                    W = term if W is None else W + term
                 if W is None:       # band window misses every position bin
                     W = jnp.zeros(kshape, jnp.float32)
                 # folded f32 pack: min(W, CLAMP)*4 + pr == min(W*4 + pr,

@@ -21,6 +21,9 @@ import numpy as np
 
 from daccord_tpu.ops import consensus_step as cs
 from daccord_tpu.utils.config import DaccordConfig
+from daccord_tpu.utils.jaxsetup import setup_compilation_cache
+
+setup_compilation_cache()   # probe compiles persist across runs too
 
 
 def _sync(out):

@@ -163,9 +163,35 @@ def test_native_ops_count_matches_numpy():
     assert np.array_equal(got, ops.sum(axis=0))
 
 
+def test_bpos_at_myers_word_boundaries():
+    """The bit-parallel (Myers) C++ kernel == NumPy full DP across word
+    widths (lb spanning 1..200 crosses the 64/128/192-bit word edges,
+    where shift/addition carry bugs live) and degenerate shapes."""
+    import numpy as np
+
+    from daccord_tpu.align.editdp import (
+        PAD, _batch_bpos_at_numpy, batch_bpos_at,
+    )
+    rng = np.random.default_rng(99)
+    N, LA, LB, PX = 80, 210, 210, 5
+    A = rng.integers(0, 4, size=(N, LA)).astype(np.uint8)
+    B = rng.integers(0, 4, size=(N, LB)).astype(np.uint8)
+    la = rng.integers(0, LA + 1, size=N).astype(np.int64)
+    lb = np.concatenate([
+        np.array([0, 1, 63, 64, 65, 127, 128, 129, 191, 192, 193, 200]),
+        rng.integers(0, LB + 1, size=N - 12)]).astype(np.int64)
+    # degenerate rows: identical strings, all-mismatch strings
+    B[0, :] = 0; A[0, :] = 0
+    A[1, :] = 1; B[1, :] = 2
+    X = np.sort(rng.integers(0, la[:, None] + 1, size=(N, PX)), axis=1)
+    got = batch_bpos_at(A, la, B, lb, X, nthreads=3)
+    ref = _batch_bpos_at_numpy(A, la, B, lb, X)
+    assert np.array_equal(got, ref)
+
+
 def test_batch_bpos_at_banded_identical():
-    """Banded C++ bpos == full-DP bpos for ANY band (fallback covers
-    saturated bands); bands from block diffs are the production path."""
+    """band hints are accepted and ignored (the bit-parallel kernel is
+    exact full-width): results identical for ANY band value."""
     import numpy as np
 
     from daccord_tpu.align.editdp import PAD, batch_bpos_at
