@@ -97,7 +97,9 @@ def run_config(idx, scale, cachedir):
     # unloaded, and on the tunneled chip each first execution pays a
     # multi-second device-side load (config 1 measured 152s with partial
     # warmup vs ~4s steady)
-    run_tpu(db, las, cfg)
+    # (must warm the SAME executables the timed pass runs: the mesh path
+    # compiles separate shard_map-wrapped kernels)
+    run_tpu(db, las, cfg, use_mesh=("mesh" in c["feats"]) or None)
     t0 = time.time()
     if "parts2" in c["feats"]:
         outdir = os.path.join(cachedir, f"parts-{c['name']}")
