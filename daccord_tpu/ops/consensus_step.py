@@ -672,10 +672,15 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
     t_hi = t_exp + path_delta
     g_step = pos_bin if pbw is not None else max(t_hi, 1)
     if dp_impl.startswith("cyc") and not (t_lo >= 1 and k % 2 == 0
+                                          and k <= 8
                                           and tp_sharding is None):
         dp_impl = "scan"       # cyc preconditions unmet (or TP requested:
         #                        the pallas kernel is per-device; TP
-        #                        partitions the scan path via GSPMD)
+        #                        partitions the scan path via GSPMD).
+        #                        k > 8: the dense VMEM footprint scales
+        #                        with 4^k (score grid + backpointer groups
+        #                        + end snapshots) and exceeds the budget —
+        #                        larger k belongs to the sparse step.
     use_cyc = dp_impl.startswith("cyc")
     if use_cyc and pbw is None:
         # cyc phase tables store packed keys count*4 + 3 in uint16; the max

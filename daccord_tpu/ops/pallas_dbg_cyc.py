@@ -95,8 +95,10 @@ def phase_digit_seq(k: int, j: int):
 def _rot_parts(n: int, r: int):
     """Decompose digit-rotation r (mod n) into parts p with min(p, n-p) >= 3
     so every stage is a 2D transpose with both dims >= 64 — large-granule
-    HBM access.  Returns the shortest such part list (or the direct [r]
-    when n is too small to decompose — only k=8's n=7/8 sizes matter)."""
+    HBM access.  Returns the shortest such part list, or the direct [r]
+    when no such decomposition exists (small n, e.g. k=6's n=5/6: the
+    single-stage rotation is less HBM-efficient but always correct —
+    only k=8's n=7/8 sizes are perf-relevant)."""
     lo, hi = 3, n - 3
     if hi < lo:
         return [r % n]
@@ -105,7 +107,7 @@ def _rot_parts(n: int, r: int):
         for combo in combinations_with_replacement(range(lo, hi + 1), ln):
             if sum(combo) % n == r % n:
                 return list(combo)
-    raise AssertionError(f"no rotation decomposition for n={n}, r={r}")
+    return [r % n]
 
 
 def _digit_rot(x: jnp.ndarray, n: int, r: int) -> jnp.ndarray:

@@ -75,6 +75,34 @@ def test_pallas_dp_degenerate(impl):
     assert np.array_equal(np.asarray(a.bases), np.asarray(b.bases))
 
 
+def test_cyc_k6_rotation_fallback():
+    """k=6 exercises _digit_rot sizes (n=5, 6) with NO >=3-part rotation
+    decomposition — the direct-rotation fallback must kick in.  (A raise
+    here crashed every k=6 cyc config until the round-3 on-chip corner
+    smoke caught it; build_elig_phases hits the path unconditionally.)"""
+    cfg6 = DaccordConfig(w=20, a=5, k=6, path_delta=3, m=2)
+    plq6 = build_plq(ErrorProfile(0.03, 0.08, 0.04), cfg6)
+    rng = np.random.default_rng(7)
+    piles = []
+    for _ in range(6):
+        truth = rng.integers(0, 4, size=cfg6.w).astype(np.uint8)
+        strings = [truth.copy()]
+        for _ in range(6):
+            s = [int(b) for b in truth if rng.random() > 0.05]
+            strings.append(np.array(s[:cfg6.wprime], np.uint8))
+        piles.append(strings)
+    S, slen, nstr = pack_windows(piles, cfg6, len(piles))
+    ps = np.ascontiguousarray(plq6[:cfg6.wprime, 0], np.int32)
+    pk = np.ascontiguousarray(plq6[:cfg6.wprime, cfg6.w - cfg6.k], np.int32)
+    a = consensus_step(S, slen, nstr, ps, pk, k=6, w=cfg6.w, path_delta=3,
+                       dp_impl="scan")
+    b = consensus_step(S, slen, nstr, ps, pk, k=6, w=cfg6.w, path_delta=3,
+                       dp_impl="cyc_interpret")
+    for f in a._fields:
+        assert np.array_equal(np.asarray(getattr(a, f)),
+                              np.asarray(getattr(b, f))), f
+
+
 def test_cyc_tie_heavy():
     """Tie-dense inputs (few distinct bases -> many equal scores/ends): the
     first-wins pins must agree between scan and cyc (VERDICT weak #3)."""
