@@ -558,22 +558,23 @@ def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
     return _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
 
 
-def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
-                cands: jnp.ndarray, lc: jnp.ndarray, endok: jnp.ndarray,
-                *, k: int, w: int, t_lo: int, t_hi: int,
-                e_q6: int) -> ConsensusOut:
-    """Stage 4: batched Levenshtein scoring + first-min winner pick."""
+def _cand_dists_rows(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
+                     lc: jnp.ndarray, *, k: int, t_lo: int, t_hi: int):
+    """Levenshtein(cand, s) for every (b, ti, d) — cell-per-element row scan.
+
+    Superseded as the default by _cand_dists_myers (same values bit-for-bit,
+    ~5x fewer VPU element-ops); kept as the ablation/cross-check
+    implementation (tests/test_ops_consensus.py asserts equality).
+
+    TPU layout: the DP row axis j (Wp+1 ~ 49) goes FIRST (sublanes); the
+    problem axes (B, nT, D1) fill the lanes.  D[i][slen] is captured at
+    i == lc via a one-hot multiply-reduce (no per-column gathers).
+    int8 rows: all DP values are bounded by LC + Wp < 2^7 (exactness kept,
+    HBM traffic halved).
+    """
     B, D1, Wp = S.shape
     nT = t_hi - t_lo + 1
     LC = k + t_hi
-    dvalid = (jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None])
-
-    # ---- scoring: Levenshtein(cand, s) for every (b, ti, d) ----
-    # TPU layout: the DP row axis j (Wp+1 ~ 49) goes FIRST (sublanes); the
-    # problem axes (B, nT, D1) fill the lanes.  D[i][slen] is captured at
-    # i == lc via a one-hot multiply-reduce (no per-column gathers).
-    # int8 rows: all DP values are bounded by LC + Wp < 2^7 (exactness kept,
-    # HBM traffic halved).
     jr_c = jnp.arange(Wp + 1, dtype=jnp.int8)[:, None, None, None]
     row0 = jnp.broadcast_to(jr_c, (Wp + 1, B, nT, D1)).astype(jnp.int8)
     out0 = jnp.broadcast_to(slen[:, None, :], (B, nT, D1)).astype(jnp.int32)
@@ -616,6 +617,117 @@ def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
         sc_step_tail, (row_mid, out0),
         (jnp.arange(n_sc_head + 1, LC + 1), candsT[n_sc_head:]),
         length=LC - n_sc_head)
+    return dist
+
+
+def _cand_dists_myers(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
+                      lc: jnp.ndarray, *, k: int, t_lo: int, t_hi: int):
+    """Levenshtein(cand, s) for every (b, ti, d) — Myers/Hyyro bit-parallel.
+
+    The candidate (pattern) spans the bit vectors (NW = ceil(LC/32) uint32
+    words per problem — 2 at the bench shape); the scan runs over the pile
+    string's Wp chars.  Per step ~35 word-ops on [NW, B, nT, D1] replace the
+    row scan's ~11 passes over [Wp+1, B, nT, D1] — ~(Wp+1)/(3*NW) ~ 5-8x
+    fewer VPU element-ops at typical shapes.  Same recurrence as the host
+    front half's native/realign.cpp myers_capture_rows (Hyyro d0-form with
+    the (hp << 1) | 1 carry-in pinning the global D[0][j] = j boundary);
+    distances are exact integers, so the winner pick downstream is
+    bit-identical to the row-scan path (asserted by tests).
+
+    Candidate lengths are static per candidate slot (m = k + t_lo + ti), so
+    the score bit m-1 masks are compile-time constants; D[m][slen] is
+    captured at scan step j == slen (slen == 0 rows start captured at
+    D[m][0] = m).  Pattern bits >= m are PAD-coded in cands (never equal a
+    real base) and carries only propagate upward, so they cannot perturb
+    bits < m.
+    """
+    B, D1, Wp = S.shape
+    nT = t_hi - t_lo + 1
+    LC = k + t_hi
+    NW = -(-LC // 32)
+    u32 = jnp.uint32
+
+    # pattern bitmasks PM[c][w]: bit p of word w set iff cand char 32w+p == c
+    ci = cands.astype(jnp.int32)                             # [B, nT, LC]
+    PM = [[None] * NW for _ in range(4)]
+    for c in range(4):
+        eqc = (ci == c)                                      # [B, nT, LC]
+        for wd in range(NW):
+            acc = jnp.zeros((B, nT), u32)
+            for p in range(32 * wd, min(32 * (wd + 1), LC)):
+                acc = acc | (eqc[:, :, p].astype(u32) << u32(p - 32 * wd))
+            PM[c][wd] = acc[:, :, None]                      # [B, nT, 1]
+
+    # static score-bit masks: candidate ti has m = k + t_lo + ti
+    mws = np.zeros((NW, nT), np.uint32)
+    for ti in range(nT):
+        m = k + t_lo + ti
+        mws[(m - 1) // 32, ti] = np.uint32(1) << np.uint32((m - 1) % 32)
+    msel = [jnp.asarray(mws[wd])[None, :, None] for wd in range(NW)]
+
+    shape = (B, nT, D1)
+    ones = jnp.full(shape, 0xFFFFFFFF, u32)
+    score0 = jnp.broadcast_to(lc[:, :, None], shape).astype(jnp.int32)
+    out0 = jnp.where(slen[:, None, :] == 0, score0, 0)
+    slen_b = slen[:, None, :]                                # [B, 1, D1]
+    STj = S.transpose(2, 0, 1).astype(jnp.int32)             # [Wp, B, D1]
+
+    def step(carry, x):
+        VP, VN, score, out = carry
+        j, sj = x                                            # sj [B, D1]
+        chm = [(sj[:, None, :] == c) for c in range(4)]      # [B, 1, D1]
+        dz = jnp.zeros(shape, u32)
+        hps_l, hns_l, d0_l = [], [], []
+        carry_add = dz
+        sd = jnp.zeros(shape, jnp.int32)
+        hp_in, hn_in = jnp.full(shape, 1, u32), dz
+        for wd in range(NW):
+            vp, vn = VP[wd], VN[wd]
+            eq = dz
+            for c in range(4):
+                eq = eq | jnp.where(chm[c], PM[c][wd], u32(0))
+            x1 = eq & vp
+            s1 = x1 + vp
+            c1 = (s1 < x1).astype(u32)
+            s2 = s1 + carry_add
+            carry_add = c1 | (s2 < carry_add).astype(u32)
+            d0 = (s2 ^ vp) | eq | vn
+            hp = vn | ~(d0 | vp)
+            hn = vp & d0
+            sd = (sd + ((hp & msel[wd]) != 0).astype(jnp.int32)
+                  - ((hn & msel[wd]) != 0).astype(jnp.int32))
+            hps_l.append((hp << 1) | hp_in)
+            hns_l.append((hn << 1) | hn_in)
+            hp_in, hn_in = hp >> 31, hn >> 31
+            d0_l.append(d0)
+        score = score + sd
+        nVP = tuple(hns_l[wd] | ~(d0_l[wd] | hps_l[wd]) for wd in range(NW))
+        nVN = tuple(hps_l[wd] & d0_l[wd] for wd in range(NW))
+        out = jnp.where(slen_b == j, score, out)
+        return (nVP, nVN, score, out), None
+
+    init = (tuple(ones for _ in range(NW)),
+            tuple(jnp.zeros(shape, u32) for _ in range(NW)), score0, out0)
+    (_, _, _, dist), _ = jax.lax.scan(
+        step, init, (jnp.arange(1, Wp + 1), STj), length=Wp)
+    return dist
+
+
+def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
+                cands: jnp.ndarray, lc: jnp.ndarray, endok: jnp.ndarray,
+                *, k: int, w: int, t_lo: int, t_hi: int,
+                e_q6: int, score_impl: str = "myers") -> ConsensusOut:
+    """Stage 4: batched Levenshtein scoring + first-min winner pick.
+
+    score_impl: 'myers' (default, bit-parallel) | 'rows' (the cell-per-
+    element scan, kept for ablation) — identical distances, identical pick.
+    """
+    B, D1, Wp = S.shape
+    nT = t_hi - t_lo + 1
+    LC = k + t_hi
+    dists = _cand_dists_myers if score_impl == "myers" else _cand_dists_rows
+    dist = dists(S, slen, cands, lc, k=k, t_lo=t_lo, t_hi=t_hi)
+    dvalid = (jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None])
     dist = jnp.where(dvalid[:, None, :], dist, 0)            # mask pad strings
     cost = dist.sum(axis=2).astype(jnp.int32)                # [B,nT]
     cost = jnp.where(endok, cost, BIG)

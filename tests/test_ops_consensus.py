@@ -76,6 +76,56 @@ def test_device_degenerate_windows():
             assert np.array_equal(got[b], want), b
 
 
+def test_myers_scoring_matches_row_scan():
+    """_cand_dists_myers (production) == _cand_dists_rows (ablation) ==
+    scalar Levenshtein, across word counts NW = 1..3, slen = 0 rows,
+    PAD-coded tails, and t_lo = 0 candidates."""
+    import jax
+    import jax.numpy as jnp
+
+    from daccord_tpu.ops.consensus_step import (
+        PAD, _cand_dists_myers, _cand_dists_rows)
+
+    def lev(a, b):
+        D = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            prev = D.copy()
+            D[0] = i
+            for j in range(1, len(b) + 1):
+                D[j] = min(prev[j] + 1, D[j - 1] + 1,
+                           prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return D[len(b)]
+
+    rng = np.random.default_rng(7)
+    for k, t_lo, t_hi, Wp, B, D1 in [(8, 18, 46, 49, 5, 9),
+                                     (4, 0, 2, 8, 3, 2),
+                                     (12, 28, 42, 52, 3, 5),
+                                     (8, 10, 60, 70, 2, 4)]:
+        nT, LC = t_hi - t_lo + 1, k + t_hi
+        S = rng.integers(0, 4, size=(B, D1, Wp)).astype(np.uint8)
+        slen = rng.integers(0, Wp + 1, size=(B, D1)).astype(np.int32)
+        for b in range(B):
+            for d in range(D1):
+                S[b, d, slen[b, d]:] = PAD
+        lc = ((k + np.arange(t_lo, t_hi + 1))[None, :]
+              * np.ones((B, 1), np.int32)).astype(np.int32)
+        cands = rng.integers(0, 4, size=(B, nT, LC)).astype(np.uint8)
+        for b in range(B):
+            for ti in range(nT):
+                cands[b, ti, lc[b, ti]:] = PAD
+        args = tuple(map(jnp.asarray, (S, slen, cands, lc)))
+        dr = np.asarray(jax.jit(lambda *a: _cand_dists_rows(
+            *a, k=k, t_lo=t_lo, t_hi=t_hi))(*args))
+        dm = np.asarray(jax.jit(lambda *a: _cand_dists_myers(
+            *a, k=k, t_lo=t_lo, t_hi=t_hi))(*args))
+        assert (dr == dm).all()
+        for _ in range(20):
+            b, ti, d = (rng.integers(0, B), rng.integers(0, nT),
+                        rng.integers(0, D1))
+            assert dm[b, ti, d] == lev(cands[b, ti, :lc[b, ti]],
+                                       S[b, d, :slen[b, d]])
+
+
 def test_device_deterministic_across_calls():
     rng = np.random.default_rng(2)
     piles = _windows(rng, 6, 12)
