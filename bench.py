@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
+# repo-local persistent XLA cache: a fresh home dir (driver runs) must not
+# pay ~15 min of recompiles — the cache ships with the repo checkout
+# (VERDICT r3 item 4).  Explicit DACCORD_JAX_CACHE still wins.
+os.environ.setdefault("DACCORD_JAX_CACHE", os.path.join(CACHE, "xla"))
+
 # config-1 analog: "E. coli K-12 PacBio 10x subset, k=8, 40bp windows,
 # single pile file" (BASELINE.json configs[0]) — synthetic stand-in sized for
 # a few-minute bench run
@@ -95,19 +100,27 @@ def oracle_baseline(db, las, cfg):
 
 
 def cpu_cxx_baseline(db, las, cfg, oracle_hash):
-    """Measured C++ CPU reads/s (full pipeline, 1 thread and all cores),
-    gated on byte-equality with the oracle.  Cached (deterministic)."""
+    """Measured C++ CPU reads/s, robust protocol (scripts/cpu_baseline.py):
+    fresh subprocess per cell, >=3 passes, median + spread, thread-scaling
+    sanity check.  Gated on byte-equality with the oracle.  Cached only
+    when the measurement was NOT flagged as contended; a cached entry
+    lacking the sanity fields (pre-round-4) is discarded."""
     import hashlib
     from daccord_tpu.pipeline.cpu_runner import run_cpu
     path = os.path.join(CACHE, "cpu_cxx_baseline.json")
     key = json.dumps([SIM, _code_hash()], sort_keys=True)
     if os.path.exists(path):
         d = json.load(open(path))
-        if d.get("key") == key:
-            return d["rps_1t"], d["rps_mt"], d["ncores"]
-    ncores = os.cpu_count() or 1
+        ok = (d.get("key") == key and "scaling_1t_to_mt" in d
+              and not d.get("contended", True))
+        if ok:
+            return d
+        if os.path.exists(path):
+            os.unlink(path)  # stale or suspicious: re-measure
+
+    # correctness gate first (untimed): C++ output must byte-match oracle
     sub = cfg.replace(I=(0, ORACLE_READS))
-    recs_sub, _ = run_cpu(db, las, sub, nthreads=ncores)
+    recs_sub, _ = run_cpu(db, las, sub, nthreads=os.cpu_count() or 1)
     h = hashlib.sha256(repr(recs_sub).encode()).hexdigest()[:16]
     if h != oracle_hash:
         log("bench: FATAL C++ CPU output != oracle output on subset!")
@@ -116,17 +129,18 @@ def cpu_cxx_baseline(db, las, cfg, oracle_hash):
             "unit": "reads/s", "vs_baseline": 0.0, "correct": False,
         }), flush=True)
         sys.exit(1)
-    out = {}
-    for tag, nt in (("rps_1t", 1), ("rps_mt", ncores)):
-        t0 = time.time()
-        recs, stats = run_cpu(db, las, cfg, nthreads=nt)
-        dt = time.time() - t0
-        out[tag] = stats.reads / dt
-        log(f"bench: C++ CPU baseline ({nt} threads): {stats.reads} reads / "
-            f"{stats.windows} windows in {dt:.1f}s -> "
-            f"{stats.reads / dt:.2f} reads/s")
-    json.dump({"key": key, "ncores": ncores, **out}, open(path, "w"))
-    return out["rps_1t"], out["rps_mt"], ncores
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from cpu_baseline import measure_config
+    d = measure_config(db, las, passes=3, load_wait=120.0)
+    log(f"bench: C++ CPU baseline: 1t={d['rps_1t']} reads/s "
+        f"(passes {d['rps_1t_passes']}), {d['ncores']}t={d['rps_mt']} "
+        f"(passes {d['rps_mt_passes']}), scaling {d['scaling_1t_to_mt']}x"
+        f"{' CONTENDED (not cached)' if d['contended'] else ''}")
+    if not d["contended"]:
+        json.dump({"key": key, **d}, open(path, "w"))
+    return d
 
 
 def main():
@@ -138,7 +152,8 @@ def main():
     cfg = DaccordConfig(batch_windows=256)
 
     oracle_rps, oracle_hash = oracle_baseline(db, las, cfg)
-    cpu_1t, cpu_mt, ncores = cpu_cxx_baseline(db, las, cfg, oracle_hash)
+    cpu = cpu_cxx_baseline(db, las, cfg, oracle_hash)
+    cpu_1t, cpu_mt, ncores = cpu["rps_1t"], cpu["rps_mt"], cpu["ncores"]
 
     # correctness gate on the oracle subset: device path must byte-match.
     # A mismatch is FATAL (a silently-wrong perf number is worse than a
@@ -208,7 +223,8 @@ def main():
         pos_bin=cfg.pos_bin))
     warm = cfg.replace(I=(0, 2))
     run_tpu(db, las, warm)
-    log(f"bench: warmup {time.time()-t0:.1f}s")
+    warmup_s = time.time() - t0
+    log(f"bench: warmup {warmup_s:.1f}s")
     # best of two timed passes: the tunneled single-chip link adds +-30%
     # run-to-run noise; the faster pass is the steady-state throughput
     rps = 0.0
@@ -234,7 +250,11 @@ def main():
         "correct": True,
         "cpu_cxx_reads_per_s": round(cpu_mt, 3),
         "cpu_cxx_1t_reads_per_s": round(cpu_1t, 3),
+        "cpu_cxx_scaling": cpu["scaling_1t_to_mt"],
+        "cpu_cxx_contended": cpu["contended"],
+        "cpu_cxx_mt_passes": cpu["rps_mt_passes"],
         "cpu_cores": ncores,
+        "warmup_s": round(warmup_s, 1),
         "oracle_reads_per_s": round(oracle_rps, 3),
         "vs_oracle_proxy": round(vs_proxy, 3),
         # the tunneled single-chip link adds +-30% run-to-run noise;

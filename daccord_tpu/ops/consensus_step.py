@@ -559,7 +559,7 @@ def _traceback_cyc(bpp: jnp.ndarray, ends: jnp.ndarray,
 
 
 def _cand_dists_rows(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
-                     lc: jnp.ndarray, *, k: int, t_lo: int, t_hi: int):
+                     *, k: int, t_lo: int, t_hi: int):
     """Levenshtein(cand, s) for every (b, ti, d) — cell-per-element row scan.
 
     Superseded as the default by _cand_dists_myers (same values bit-for-bit,
@@ -575,6 +575,10 @@ def _cand_dists_rows(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
     B, D1, Wp = S.shape
     nT = t_hi - t_lo + 1
     LC = k + t_hi
+    # candidate lengths are static per slot: m = k + t_lo + ti
+    lc = jnp.broadcast_to(
+        jnp.arange(k + t_lo, k + t_hi + 1, dtype=jnp.int32)[None, :],
+        (B, nT))
     jr_c = jnp.arange(Wp + 1, dtype=jnp.int8)[:, None, None, None]
     row0 = jnp.broadcast_to(jr_c, (Wp + 1, B, nT, D1)).astype(jnp.int8)
     out0 = jnp.broadcast_to(slen[:, None, :], (B, nT, D1)).astype(jnp.int32)
@@ -621,7 +625,7 @@ def _cand_dists_rows(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
 
 
 def _cand_dists_myers(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
-                      lc: jnp.ndarray, *, k: int, t_lo: int, t_hi: int):
+                      *, k: int, t_lo: int, t_hi: int):
     """Levenshtein(cand, s) for every (b, ti, d) — Myers/Hyyro bit-parallel.
 
     The candidate (pattern) spans the bit vectors (NW = ceil(LC/32) uint32
@@ -667,7 +671,11 @@ def _cand_dists_myers(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
 
     shape = (B, nT, D1)
     ones = jnp.full(shape, 0xFFFFFFFF, u32)
-    score0 = jnp.broadcast_to(lc[:, :, None], shape).astype(jnp.int32)
+    # D[m][0] = m from the SAME static per-slot length the score-bit masks
+    # (msel) are baked from — the two cannot diverge by construction
+    score0 = jnp.broadcast_to(
+        jnp.arange(k + t_lo, k + t_hi + 1, dtype=jnp.int32)[None, :, None],
+        shape)
     out0 = jnp.where(slen[:, None, :] == 0, score0, 0)
     slen_b = slen[:, None, :]                                # [B, 1, D1]
     STj = S.transpose(2, 0, 1).astype(jnp.int32)             # [Wp, B, D1]
@@ -714,19 +722,21 @@ def _cand_dists_myers(S: jnp.ndarray, slen: jnp.ndarray, cands: jnp.ndarray,
 
 
 def _score_pick(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
-                cands: jnp.ndarray, lc: jnp.ndarray, endok: jnp.ndarray,
+                cands: jnp.ndarray, endok: jnp.ndarray,
                 *, k: int, w: int, t_lo: int, t_hi: int,
                 e_q6: int, score_impl: str = "myers") -> ConsensusOut:
     """Stage 4: batched Levenshtein scoring + first-min winner pick.
 
     score_impl: 'myers' (default, bit-parallel) | 'rows' (the cell-per-
     element scan, kept for ablation) — identical distances, identical pick.
+    Candidate lengths are static per slot (m = k + t_lo + ti); both scorers
+    derive them internally, so no runtime length can disagree with the
+    compile-time score-bit masks.
     """
-    B, D1, Wp = S.shape
-    nT = t_hi - t_lo + 1
+    B, D1, _ = S.shape
     LC = k + t_hi
     dists = _cand_dists_myers if score_impl == "myers" else _cand_dists_rows
-    dist = dists(S, slen, cands, lc, k=k, t_lo=t_lo, t_hi=t_hi)
+    dist = dists(S, slen, cands, k=k, t_lo=t_lo, t_hi=t_hi)
     dvalid = (jnp.arange(D1, dtype=jnp.int32)[None, :] < nstr[:, None])
     dist = jnp.where(dvalid[:, None, :], dist, 0)            # mask pad strings
     cost = dist.sum(axis=2).astype(jnp.int32)                # [B,nT]
@@ -840,12 +850,12 @@ def _consensus_step_jit(S: jnp.ndarray, slen: jnp.ndarray, nstr: jnp.ndarray,
                   & dval[:, :, None])
         endok = endok & evalid.reshape(S.shape[0], -1).any(axis=1)[:, None]
     if bp_tag == "cyc_fused":
-        cands, lc = _finish_traceback_fused(bps, k=k, t_lo=t_lo, t_hi=t_hi)
+        cands, _ = _finish_traceback_fused(bps, k=k, t_lo=t_lo, t_hi=t_hi)
     elif bp_tag == "cyc":
-        cands, lc = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
+        cands, _ = _traceback_cyc(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
     else:
-        cands, lc = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
-    return _score_pick(S, slen, nstr, cands, lc, endok, k=k, w=w,
+        cands, _ = _traceback(bps, ends, k=k, t_lo=t_lo, t_hi=t_hi)
+    return _score_pick(S, slen, nstr, cands, endok, k=k, w=w,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)
 
 

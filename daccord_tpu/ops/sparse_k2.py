@@ -233,6 +233,6 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         (bps[::-1], jnp.arange(t_hi, 0, -1, dtype=jnp.int32)),
         length=t_hi)
     bases = bases[:, :, :t_hi]
-    cands, lc = _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
-    return _score_pick(S, slen, nstr, cands, lc, endok, k=k, w=w,
+    cands, _ = _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
+    return _score_pick(S, slen, nstr, cands, endok, k=k, w=w,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)

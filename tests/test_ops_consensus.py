@@ -113,7 +113,7 @@ def test_myers_scoring_matches_row_scan():
         for b in range(B):
             for ti in range(nT):
                 cands[b, ti, lc[b, ti]:] = PAD
-        args = tuple(map(jnp.asarray, (S, slen, cands, lc)))
+        args = tuple(map(jnp.asarray, (S, slen, cands)))
         dr = np.asarray(jax.jit(lambda *a: _cand_dists_rows(
             *a, k=k, t_lo=t_lo, t_hi=t_hi))(*args))
         dm = np.asarray(jax.jit(lambda *a: _cand_dists_myers(

@@ -432,3 +432,34 @@ def test_filterchains_streaming_equals_memory(dataset, tmp_path):
     assert filterchains.main([out_uns, shuf]) == 0
     n1 = LasFile.open(out_uns).novl
     assert n1 > 0
+
+
+def test_lasfilteralignments_chunk_invariant(dataset, tmp_path):
+    """Streaming chunked filter (round 4): the output .las is byte-identical
+    for ANY chunk size — the pass-1 fit is integer-exact (Q20 quantized
+    sums + histogram median), so no chunking can perturb the cut.  Covers
+    the fit path, the -E path, and -e/--repeats composition."""
+    _, db_path, las_path, d = dataset
+    from daccord_tpu.tools.lasfilteralignments import main
+
+    outs = []
+    for chunk in (1, 7, 100000):
+        out = str(tmp_path / f"c{chunk}.las")
+        assert main([out, las_path, "--sigma", "2.0",
+                     "--chunk", str(chunk)]) == 0
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1] == outs[2]
+    assert LasFile.open(str(tmp_path / "c1.las")).novl > 0
+
+    # -E + -e composition, same invariance
+    import json
+    eprof = str(tmp_path / "e.json")
+    json.dump({"e_sub": 0.05, "e_ins": 0.05, "e_del": 0.04,
+               "n_bases": 10000}, open(eprof, "w"))
+    outs = []
+    for chunk in (3, 100000):
+        out = str(tmp_path / f"e{chunk}.las")
+        assert main([out, las_path, "-E", eprof, "-e", "0.5",
+                     "--chunk", str(chunk)]) == 0
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1]
