@@ -417,7 +417,12 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 # [1, ...] (shared table, broadcast over windows) or
                 # [wpg, ...] (per-window tables).
                 pshared = pbw_ref.shape[0] == 1
-                W = None
+                # accumulate directly in the x4 key domain with the priority
+                # row pre-seeded: Wf4 = sum_i H_i*(4*s_i) + pr — bitwise
+                # equal to (sum_i H_i*s_i)*4 + pr in f32 (scaling by the
+                # power of two 4 commutes exactly through products and
+                # sums), and one full-size FMA pass cheaper per refresh
+                Wf4 = None
                 for i in range(max(0, jbin - pbw_band),
                                min(nbp - 1, jbin + pbw_band) + 1):
                     if codes_mode:
@@ -425,7 +430,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                     else:
                         Hi = ewp_refs[ph][:, i]
                     if pshared:
-                        scal = pbw_ref[0, i, jbin].astype(jnp.float32)
+                        scal = (pbw_ref[0, i, jbin] * 4).astype(jnp.float32)
                         term = Hi.astype(jnp.float32) * scal
                     else:
                         # per-window pbw: scalar multiply per window, then
@@ -433,18 +438,17 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                         # [W, 1, 1, 1] for a broadcast multiply)
                         term = jnp.stack(
                             [Hi[w].astype(jnp.float32)
-                             * pbw_ref[w, i, jbin].astype(jnp.float32)
+                             * (pbw_ref[w, i, jbin] * 4).astype(jnp.float32)
                              for w in range(W_)])
-                    W = term if W is None else W + term
-                if W is None:       # band window misses every position bin
-                    W = jnp.zeros(kshape, jnp.float32)
+                    Wf4 = (prf_tab + term) if Wf4 is None else (Wf4 + term)
+                if Wf4 is None:     # band window misses every position bin
+                    Wf4 = prf_tab
                 # folded f32 pack: min(W, CLAMP)*4 + pr == min(W*4 + pr,
-                # CLAMP*4 + pr) — one FMA + one min, integer-exact in f32
+                # CLAMP*4 + pr) — one min, integer-exact in f32
                 # (W*4 + pr <= 4*CLAMP + 3 < 2^24).  Validity W >= 1 <=>
                 # W*4 + pr > 3.5 (W, pr integer-valued, pr <= 3).  Absent
                 # edges pre-biased to EW_INVALID: the DP step is then a
                 # bare add+max per (c, bb).
-                Wf4 = W * 4.0 + prf_tab
                 key_tab[ph] = jnp.where(Wf4 > 3.5,
                                         jnp.minimum(Wf4, prc_tab),
                                         float(EW_INVALID)).astype(jnp.int32)

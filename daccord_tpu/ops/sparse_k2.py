@@ -53,17 +53,36 @@ def _lookup(tables: jnp.ndarray, queries: jnp.ndarray):
     return idxc, found
 
 
+def _ablate_out(B: int, LC: int, *ts) -> ConsensusOut:
+    """Timing-only truncated output: shaped like the real result, data-
+    dependent on the stage tensors so nothing is dead-code-eliminated.
+    Results are intentionally meaningless; never used in production."""
+    acc = jnp.int32(0)
+    for t in ts:
+        acc = acc + t.sum().astype(jnp.int32)
+    ok = jnp.broadcast_to(acc != jnp.int32(-1), (B,))
+    length = jnp.broadcast_to(acc & 0, (B,))
+    bases = jnp.broadcast_to((acc & 0).astype(jnp.uint8), (B, LC))
+    return ConsensusOut(ok=ok, length=length, bases=bases, cost=length)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "path_delta", "e_q6",
-                                             "pos_bin"))
+                                             "pos_bin", "ablate"))
 def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
                           nstr: jnp.ndarray, plq_src: jnp.ndarray,
                           plq_snk: jnp.ndarray, pbw=None, *, k: int, w: int,
                           path_delta: int, e_q6: int = 1_000_000,
-                          pos_bin: int = 8) -> ConsensusOut:
+                          pos_bin: int = 8, ablate: str = "") -> ConsensusOut:
     """One batched consensus pass at k-mer size k, sparse tables.
 
     Same contract as consensus_step (S [B, D1, W'], row 0 = A substring);
     intended for the k2 retry pass but exact at any k with 4^(k+1) < 2^30.
+
+    ablate: TIMING-ONLY truncation for on-chip stage attribution (VERDICT
+    r3 item 6).  One of 'nodes' (stop after node sort + src/snk scatters),
+    'edges' (+ edge sort, endpoint lookups, weight-bin scatters), 'dp'
+    (+ max-plus scan and end picking), 'tb' (+ traceback walk); '' = full
+    step (+ candidate scoring).  Truncated results are meaningless.
     """
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     B, D1, Wp = S.shape
@@ -93,6 +112,7 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     Ne = D1 * P2
     b_idx = jnp.arange(B)[:, None]
 
+    LC_ab = k + t_hi
     kf = jnp.where(kvalid, kcodes, BIGC).reshape(B, Nn)
     nodes = _unique_sorted(kf)                            # [B, Nn]
     kidx, _ = _lookup(nodes, kf)                          # invalid -> w=0
@@ -103,6 +123,8 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     wsnk = jnp.where(kvalid, pk_b[:, None, :], 0).reshape(B, Nn)
     src = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsrc)
     snk = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsnk)
+    if ablate == "nodes":
+        return _ablate_out(B, LC_ab, nodes, src, snk)
 
     ef = jnp.where(evalid, ecodes, BIGC).reshape(B, Ne)
     eu_all = _unique_sorted(ef)                           # [B, Ne]
@@ -133,6 +155,9 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     evi, vok = _lookup(nodes, jnp.where(eu_all < BIGC, e_v, BIGC))
     ekeep = uok & vok & (eu_all < BIGC)
     pr = 3 - e_c
+    if ablate == "edges":
+        return _ablate_out(B, LC_ab, nodes, src, snk, wbins, eui, evi,
+                           ekeep, pr)
 
     have_src = src.max(axis=1) > 0
     source_slot = jnp.argmax(src, axis=1).astype(jnp.int32)  # first max =
@@ -208,6 +233,8 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     # oracle fails a window with no observed (k+1)-mer edges outright
     # (before any T=0 source-only candidate; oracle/dbg.py "len(e_u) == 0")
     endok &= evalid.reshape(B, -1).any(axis=1)[:, None]
+    if ablate == "dp":
+        return _ablate_out(B, LC_ab, bps, ends, endok.astype(jnp.int32))
 
     # ---- traceback on node codes (lax.scan: one compiled body for all
     # steps — an unrolled loop of batched binary searches measured ~150s
@@ -234,5 +261,7 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         length=t_hi)
     bases = bases[:, :, :t_hi]
     cands, _ = _finish_traceback(v, bases, k=k, t_lo=t_lo, t_hi=t_hi)
+    if ablate == "tb":
+        return _ablate_out(B, LC_ab, cands, endok.astype(jnp.int32))
     return _score_pick(S, slen, nstr, cands, endok, k=k, w=w,
                        t_lo=t_lo, t_hi=t_hi, e_q6=e_q6)

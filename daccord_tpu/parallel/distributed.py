@@ -123,6 +123,68 @@ def missing_parts(db_path: str, las_path: str, nparts: int,
             if not part_done(outdir, p, intervals[p])]
 
 
+def dispatch_part(db_path: str, las_path, nparts: int, part: int,
+                  outdir: str, extra_args: Optional[List[str]] = None,
+                  use_oracle: bool = False):
+    """Launch one part as an isolated worker subprocess (crash isolation:
+    a killed/failed worker cannot take the supervisor down, and its part is
+    simply detected missing).  Returns the Popen handle."""
+    import subprocess
+    import sys as _sys
+    las_list = las_path if isinstance(las_path, (list, tuple)) else [las_path]
+    cmd = [_sys.executable, "-m", "daccord_tpu.tools.daccord_dist",
+           *las_list, db_path, "--outdir", outdir,
+           "--part", str(part), "--nparts", str(nparts)]
+    if use_oracle:
+        cmd.append("--oracle")
+    cmd += list(extra_args or [])
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = repo + (os.pathsep + env["PYTHONPATH"]
+                                if env.get("PYTHONPATH") else "")
+    return subprocess.Popen(cmd, env=env)
+
+
+def run_all_parts(db_path: str, las_path, nparts: int, outdir: str,
+                  retry: int = 1, jobs: int = 1,
+                  extra_args: Optional[List[str]] = None,
+                  use_oracle: bool = False,
+                  I: Optional[Tuple[int, int]] = None,
+                  log=None) -> List[int]:
+    """Single-host scheduler: dispatch every unfinished part as a worker
+    subprocess (up to ``jobs`` concurrently) and RE-DISPATCH parts that
+    come back missing — a worker killed mid-part leaves no manifest, so
+    the next round picks it up (SURVEY §5 failure detection / elastic
+    recovery: 'missed-heartbeat -> re-dispatch read-range shard'; here the
+    heartbeat is worker exit, the shard the planned part).
+
+    retry: extra recovery rounds after the first full dispatch.
+    Returns the list of parts STILL missing after all rounds (empty on
+    success).  Completed parts are never re-run (idempotent resume).
+    """
+    for round_no in range(retry + 1):
+        missing = missing_parts(db_path, las_path, nparts, outdir, I=I)
+        if not missing:
+            return []
+        if log:
+            log(f"[daccord-dist] round {round_no}: dispatching parts "
+                f"{missing}")
+        pending = list(missing)
+        running: List = []
+        while pending or running:
+            while pending and len(running) < max(jobs, 1):
+                part = pending.pop(0)
+                running.append(dispatch_part(
+                    db_path, las_path, nparts, part, outdir,
+                    extra_args=extra_args, use_oracle=use_oracle))
+            proc = running.pop(0)
+            rc = proc.wait()
+            if rc != 0 and log:
+                log(f"[daccord-dist] worker exited rc={rc} (will re-check)")
+    return missing_parts(db_path, las_path, nparts, outdir, I=I)
+
+
 def merge_parts(outdir: str, nparts: int, dest: str) -> int:
     """Concatenate parts in order -> one FASTA; returns record count."""
     n = 0

@@ -40,13 +40,21 @@ class ReadRows:
     row_len: np.ndarray    # int32 [R]
     pool: np.ndarray       # uint8 flat
     row_ptr: np.ndarray    # int64 [nwin+1] CSR over rows (sorted by window)
+    # shared-memory transport handle: declared (and therefore torn down)
+    # AFTER the array views into it, so SharedMemory.__del__ never sees
+    # exported buffers (rows_from_shm)
+    _shm: object = None
 
     def window_strings(self, wi: int) -> List[np.ndarray]:
-        """Reconstruct one window's pile strings (k2 fallback, tests)."""
+        """Reconstruct one window's pile strings (k2 fallback, tests).
+
+        Copies: the strings outlive the row pool (k2 retry queue), and a
+        view would pin the whole pool — or a whole shared-memory segment —
+        until the queue drains."""
         out = []
         for r in range(int(self.row_ptr[wi]), int(self.row_ptr[wi + 1])):
             s = self.pool[self.row_start[r]:self.row_start[r] + self.row_len[r]]
-            out.append(np.asarray(s, dtype=np.uint8))
+            out.append(np.array(s, dtype=np.uint8))
         return out
 
 
@@ -149,6 +157,58 @@ def extract_rows(A: np.ndarray, realigned: Sequence[RealignedOverlap],
     return ReadRows(nwin=nwin, nstr=nstr, failed=np.asarray(failed),
                     row_win=row_win, row_d=row_d, row_start=row_start,
                     row_len=row_len, pool=pool, row_ptr=row_ptr)
+
+
+_SHM_FIELDS = ("nstr", "failed", "row_win", "row_d", "row_start",
+               "row_len", "pool", "row_ptr")
+
+
+def rows_to_shm(rr: ReadRows):
+    """Pack a ReadRows into one POSIX shared-memory segment (worker side).
+
+    Only the segment name + array header crosses the executor result pipe
+    (VERDICT r3 item 8: the arrays are already flat numpy — ship them
+    through /dev/shm instead of pickling ~100KB/read).  The creating
+    worker unregisters the segment from its resource_tracker: ownership
+    (attach + unlink) transfers to the parent, and the tracker would
+    otherwise warn about — or double-unlink — a segment the parent freed.
+    """
+    from multiprocessing import resource_tracker, shared_memory
+    arrs = [np.ascontiguousarray(getattr(rr, f)) for f in _SHM_FIELDS]
+    sizes = [a.nbytes for a in arrs]
+    total = max(sum(sizes), 1)
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    try:
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    off = 0
+    header = []
+    for a, f in zip(arrs, _SHM_FIELDS):
+        shm.buf[off:off + a.nbytes] = a.tobytes()
+        header.append((f, str(a.dtype), a.shape, off))
+        off += a.nbytes
+    shm.close()
+    return {"name": shm.name, "nwin": rr.nwin, "header": header}
+
+
+def rows_from_shm(meta) -> ReadRows:
+    """Reconstruct a ReadRows as zero-copy views into the segment (parent
+    side).  The segment is unlinked immediately (the mapping stays valid
+    while any view lives); the memory unmaps when the last view dies —
+    i.e. when the runner drops the read's row pool."""
+    from multiprocessing import shared_memory
+    shm = shared_memory.SharedMemory(name=meta["name"])
+    try:
+        shm.unlink()
+    except FileNotFoundError:
+        pass
+    fields = {}
+    for f, dt, shape, off in meta["header"]:
+        fields[f] = np.frombuffer(
+            shm.buf, dtype=dt, count=int(np.prod(shape, dtype=np.int64)),
+            offset=off).reshape(shape)
+    return ReadRows(nwin=meta["nwin"], **fields, _shm=shm)
 
 
 class RowPool:

@@ -147,6 +147,14 @@ def _pp_front(slot_aread):
     return slot, extract_rows(A, realigned, cfg)
 
 
+def _pp_front_shm(slot_aread):
+    """Front-half worker with shared-memory array transport: only the
+    segment name + header crosses the result pipe (VERDICT r3 item 8)."""
+    from daccord_tpu.pipeline.rows import rows_to_shm
+    slot, rr = _pp_front(slot_aread)
+    return slot, rows_to_shm(rr)
+
+
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             profile=None,
             use_mesh: Optional[bool] = None
@@ -487,13 +495,25 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         elif nworkers > 1:
             import multiprocessing as mp
             ctx = mp.get_context("fork")
+            # IPC transport: pickled ReadRows by default.  A shared-memory
+            # variant (DACCORD_FRONT_IPC=shm; per-read /dev/shm segment,
+            # name+header through the pipe) was built and MEASURED SLOWER
+            # at bench scale — median-of-5 front-half speedup at 4 workers:
+            # pickle 3.12x vs shm 2.69x (scripts/bench_front.py; the
+            # per-segment shm_open/mmap/unlink + double page-touch costs
+            # more than piping ~100KB) — kept for many-core hosts where
+            # pipe bandwidth, not syscall rate, binds
+            use_shm = os.environ.get("DACCORD_FRONT_IPC", "pickle") == "shm"
+            front_fn = _pp_front_shm if use_shm else _pp_front
+            from daccord_tpu.pipeline.rows import rows_from_shm
             with cf.ProcessPoolExecutor(
                     max_workers=nworkers, mp_context=ctx,
                     initializer=_pp_init,
                     initargs=(db_path, las_path, cfg)) as ex:
-                for slot, rr in ex.map(_pp_front, enumerate(read_ids),
-                                       chunksize=8):
-                    _consume(slot, rr)
+                for slot, payload in ex.map(front_fn, enumerate(read_ids),
+                                            chunksize=8):
+                    _consume(slot, payload if not use_shm
+                             else rows_from_shm(payload))
         else:
             for sa in enumerate(read_ids):
                 _consume(*front_half(sa))

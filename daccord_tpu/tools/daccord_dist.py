@@ -41,13 +41,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="shard window batches over this process's devices")
     p.add_argument("--merge", metavar="DEST", default=None,
                    help="merge completed parts into DEST and exit")
+    p.add_argument("--run-all", action="store_true",
+                   help="single-host scheduler mode: dispatch every "
+                        "unfinished part as an isolated worker subprocess "
+                        "and auto-re-dispatch parts whose worker died "
+                        "mid-run (elastic recovery, SURVEY §5)")
+    p.add_argument("--retry-missing", type=int, default=1,
+                   help="extra recovery rounds in --run-all mode")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="concurrent part workers in --run-all mode")
     p.add_argument("--oracle", action="store_true")
     add_daccord_flags(p)
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
     from daccord_tpu.parallel.distributed import (
-        merge_parts, missing_parts, run_part,
+        merge_parts, missing_parts, run_all_parts, run_part,
     )
 
     if args.jax_dist:
@@ -65,6 +74,42 @@ def main(argv: Optional[List[str]] = None) -> int:
         part, nparts = args.part, args.nparts
 
     las = args.las if len(args.las) > 1 else args.las[0]
+    if args.run_all:
+        if args.nparts is None:
+            p.error("--run-all needs --nparts")
+        def _log(m):
+            print(m, file=sys.stderr, flush=True)
+        # forward the daccord flag surface so worker planning/config match
+        d0 = config_from_args(p.parse_args([*args.las, args.db,
+                                            "--outdir", args.outdir]))
+        fwd: List[str] = []
+        for flag, val, dflt in [("-w", args.w, d0.w), ("-a", args.a, d0.a),
+                                ("-k", args.k, d0.k), ("-t", args.t, d0.t),
+                                ("-d", args.d, d0.d), ("-m", args.m, d0.m),
+                                ("-e", args.e, d0.e), ("-l", args.l, d0.l),
+                                ("-E", args.E, d0.E)]:
+            if val != dflt and val is not None:
+                fwd += [flag, str(val)]
+        if args.I is not None:
+            fwd += ["-I", f"{args.I[0]},{args.I[1]}"]
+        if args.f:
+            fwd.append("-f")
+        if args.use_mesh:
+            fwd.append("--use-mesh")
+        still = run_all_parts(args.db, las, args.nparts, args.outdir,
+                              retry=args.retry_missing, jobs=args.jobs,
+                              use_oracle=args.oracle, I=cfg.I, log=_log,
+                              extra_args=fwd)
+        if still:
+            print(f"[daccord-dist] FAILED: parts {still} still missing "
+                  f"after {args.retry_missing} recovery rounds",
+                  file=sys.stderr)
+            return 1
+        if args.merge is not None:
+            n = merge_parts(args.outdir, args.nparts, args.merge)
+            print(f"[daccord-dist] merged {args.nparts} parts -> "
+                  f"{args.merge} ({n} records)", file=sys.stderr)
+        return 0
     if args.merge is not None:
         missing = missing_parts(args.db, las, nparts, args.outdir, I=cfg.I)
         if missing:

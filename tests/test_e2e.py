@@ -99,7 +99,11 @@ def test_streaming_frees_row_pools(dataset, monkeypatch):
 
 
 def test_process_pool_front_half_equals_serial(dataset):
-    """-t N>1 fans the front half over worker processes; output identical."""
+    """-t N>1 fans the front half over worker processes; output identical —
+    under BOTH IPC transports (pickled ReadRows and the shared-memory
+    segment variant)."""
+    import os
+
     from daccord_tpu.pipeline.runner import run_tpu
     _, db, las = dataset[0], dataset[1], dataset[2]
     cfg = DaccordConfig(I=(0, 6))
@@ -107,3 +111,39 @@ def test_process_pool_front_half_equals_serial(dataset):
     r2, s2 = run_tpu(db, las, cfg.replace(t=4), use_mesh=False)
     assert r1 == r2
     assert s1.windows_ok == s2.windows_ok
+    os.environ["DACCORD_FRONT_IPC"] = "shm"
+    try:
+        r3, s3 = run_tpu(db, las, cfg.replace(t=4), use_mesh=False)
+    finally:
+        del os.environ["DACCORD_FRONT_IPC"]
+    assert r1 == r3
+    assert s1.windows_ok == s3.windows_ok
+
+
+def test_rows_shm_roundtrip():
+    """rows_to_shm/rows_from_shm reconstruct every array bit-exactly as
+    zero-copy views, and the segment name is gone from /dev/shm after
+    attach (unlinked; memory freed when the views die)."""
+    import os
+
+    import numpy as np
+
+    from daccord_tpu.pipeline.rows import (
+        _SHM_FIELDS, extract_rows, rows_from_shm, rows_to_shm,
+    )
+    rng = np.random.default_rng(9)
+    A = rng.integers(0, 4, size=500).astype(np.uint8)
+    rr = extract_rows(A, [], DaccordConfig())
+    meta = rows_to_shm(rr)
+    rr2 = rows_from_shm(meta)
+    assert rr2.nwin == rr.nwin
+    for f in _SHM_FIELDS:
+        a, b = getattr(rr, f), getattr(rr2, f)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert (np.asarray(a) == np.asarray(b)).all()
+    assert not os.path.exists(
+        "/dev/shm/" + meta["name"].lstrip("/"))  # unlinked after attach
+    # window_strings copies (must not pin the segment)
+    if rr2.nwin:
+        s = rr2.window_strings(0)
+        assert all(x.base is None for x in s)

@@ -270,3 +270,45 @@ def test_jax_distributed_two_process_smoke(dataset, tmp_path):
     single, _ = run_oracle(db, las, DaccordConfig(I=(0, 8)))
     from daccord_tpu.formats.fasta import read_fasta
     assert list(read_fasta(dest)) == single
+
+
+def test_fault_injection_kill_mid_run_redispatched(dataset, tmp_path):
+    """VERDICT r3 item 7 / SURVEY §5 failure detection: a worker process
+    KILLED mid-part (SIGKILL, no cleanup) leaves no manifest; the
+    supervisor detects the part missing and auto-re-dispatches it; the
+    recovered merge is byte-identical to a clean single run."""
+    import time
+
+    from daccord_tpu.parallel.distributed import dispatch_part, run_all_parts
+
+    root, db, las = dataset
+    outdir = str(tmp_path / "parts")
+
+    proc = dispatch_part(db, las, 2, 0, outdir, use_oracle=True)
+    time.sleep(2.0)
+    assert proc.poll() is None, \
+        "worker finished before the kill — enlarge the dataset"
+    proc.kill()                      # exact PID we spawned, never a pattern
+    proc.wait()
+    assert 0 in missing_parts(db, las, 2, outdir)
+    assert not os.path.exists(manifest_path(outdir, 0))
+
+    still = run_all_parts(db, las, 2, outdir, retry=1, use_oracle=True)
+    assert still == []
+    dest = str(tmp_path / "recovered.fasta")
+    assert merge_parts(outdir, 2, dest) > 0
+    single, _ = run_oracle(db, las, DaccordConfig())
+    from daccord_tpu.formats.fasta import read_fasta
+    assert list(read_fasta(dest)) == single
+
+
+def test_run_all_parts_retry_budget_exhausted(dataset, tmp_path):
+    """Parts that can NEVER complete (workers crash on a bad -E profile)
+    are reported missing after the retry budget, not looped forever."""
+    from daccord_tpu.parallel.distributed import run_all_parts
+
+    root, db, las = dataset
+    outdir = str(tmp_path / "parts")
+    still = run_all_parts(db, las, 2, outdir, retry=1, use_oracle=True,
+                          extra_args=["-E", str(tmp_path / "no.json")])
+    assert still == [0, 1]
