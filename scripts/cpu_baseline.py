@@ -60,10 +60,28 @@ def worker_main(args):
 
     las = args.las.split(",") if "," in args.las else args.las
     cfg = DaccordConfig()
+    profile = None
+    if args.subset:
+        # bounded-duration cell: measure reads/s on the first N reads (the
+        # simulator places reads uniformly, so a read-id prefix is a
+        # representative sample; reads/s is a per-read rate).  The error
+        # profile is estimated ONCE, untimed: in a full run its cost is
+        # amortized over every read (~0 per read), so leaving it inside a
+        # subset-timed pass would deflate the C++ rate and flatter
+        # vs_baseline.  The timed region is the steady-state per-read work
+        # (pile realign + window consensus + stitch + emit), same as the
+        # reference's -t loop.
+        cfg = cfg.replace(I=(0, args.subset))
+        from daccord_tpu.formats.dazzler_db import DazzlerDB
+        from daccord_tpu.formats.las import open_piles
+        from daccord_tpu.oracle.eprof import estimate_error_profile_v2
+        profile = estimate_error_profile_v2(
+            DazzlerDB.open(args.db), open_piles(las), cfg)
     rps, reads, windows = [], 0, 0
     for _ in range(args.passes):
         t0 = time.time()
-        recs, stats = run_cpu(args.db, las, cfg, nthreads=args.threads)
+        recs, stats = run_cpu(args.db, las, cfg, profile=profile,
+                              nthreads=args.threads)
         dt = time.time() - t0
         rps.append(stats.reads / dt)
         reads, windows = stats.reads, stats.windows
@@ -93,11 +111,12 @@ def wait_for_idle(max_wait: float, thresh: float = 0.5):
     return os.getloadavg()[0]
 
 
-def run_cell(db, las, threads, passes, load_wait):
+def run_cell(db, las, threads, passes, load_wait, subset=0):
     load = wait_for_idle(load_wait)
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            "--db", db, "--las", las if isinstance(las, str) else ",".join(las),
-           "--threads", str(threads), "--passes", str(passes)]
+           "--threads", str(threads), "--passes", str(passes),
+           "--subset", str(subset)]
     r = subprocess.run(cmd, env=_clean_env(), capture_output=True, text=True)
     if r.returncode != 0:
         raise RuntimeError(f"cpu_baseline worker failed:\n{r.stderr[-2000:]}")
@@ -106,12 +125,12 @@ def run_cell(db, las, threads, passes, load_wait):
     return d
 
 
-def measure_config(db, las, passes, load_wait):
+def measure_config(db, las, passes, load_wait, subset=0):
     """Measure 1t and all-core cells with the scaling sanity check."""
     ncores = os.cpu_count() or 1
     for attempt in range(2):
-        c1 = run_cell(db, las, 1, passes, load_wait)
-        cm = run_cell(db, las, ncores, passes, load_wait)
+        c1 = run_cell(db, las, 1, passes, load_wait, subset)
+        cm = run_cell(db, las, ncores, passes, load_wait, subset)
         med1 = statistics.median(c1["passes"])
         medm = statistics.median(cm["passes"])
         ratio = medm / med1 if med1 > 0 else 0.0
@@ -129,6 +148,7 @@ def measure_config(db, las, passes, load_wait):
                            "determinism invariant violated")
     return {
         "ncores": ncores,
+        "subset": subset,
         "reads": cm["reads"], "windows": cm["windows"],
         "rps_1t": round(med1, 3),
         "rps_1t_passes": c1["passes"],
@@ -158,6 +178,10 @@ def main():
     ap.add_argument("--las")
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--subset", type=int, default=0)
+    ap.add_argument("--subsets", default="",
+                    help="per-config read-count caps, e.g. 3=400,4=300,5=250"
+                         " (0/absent = full config)")
     ap.add_argument("--configs", default="bench")
     ap.add_argument("--load-wait", type=float, default=120.0)
     ap.add_argument("--out", default=None)
@@ -169,11 +193,18 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(args.cache, exist_ok=True)
+    subsets = {}
+    for part in args.subsets.split(","):
+        if "=" in part:
+            nm, val = part.split("=")
+            subsets[nm] = int(val)
     results = {}
     for name in args.configs.split(","):
         db, las = dataset_for(name, args.cache)
-        log(f"cpu_baseline: config {name}: {db}")
-        results[name] = measure_config(db, las, args.passes, args.load_wait)
+        sub = subsets.get(name, args.subset)
+        log(f"cpu_baseline: config {name}: {db} (subset={sub or 'full'})")
+        results[name] = measure_config(db, las, args.passes, args.load_wait,
+                                       sub)
         print(json.dumps({"config": name, **results[name]}), flush=True)
     if args.out:
         json.dump(results, open(args.out, "w"), indent=1)

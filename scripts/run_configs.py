@@ -36,8 +36,13 @@ CONFIGS = {
             feats=["multilas"]),
     4: dict(name="dmel-50x-2host", genome=80_000, cov=50.0,
             feats=["parts2"]),
-    5: dict(name="chr20-60x-podslice", genome=100_000, cov=60.0,
+    5: dict(name="chr20-60x-podslice", genome=1_000_000, cov=60.0,
             feats=["mesh"]),
+    # config 5 runs at a 1 Mb stand-in genome since round 4 (~27k reads /
+    # ~6M windows at 60x — VERDICT r3 item 3 asked for >= 1 Mb; rounds 1-3
+    # used 100 kb).  reads/s is a per-read rate, so round-3 numbers remain
+    # comparable; the 1 Mb run additionally proves bounded-memory streaming
+    # at scale (see scripts/stress_stream.py for the RSS-asserted variant).
 }
 
 
@@ -98,8 +103,12 @@ def run_config(idx, scale, cachedir):
     # multi-second device-side load (config 1 measured 152s with partial
     # warmup vs ~4s steady)
     # (must warm the SAME executables the timed pass runs: the mesh path
-    # compiles separate shard_map-wrapped kernels)
-    run_tpu(db, las, cfg, use_mesh=("mesh" in c["feats"]) or None)
+    # compiles separate shard_map-wrapped kernels).  Large configs warm on
+    # a read-id-prefix subset: 300 reads at >= 40x coverage touch every
+    # depth bucket + the k2 retry shapes, and any straggler executable's
+    # one-time load amortizes to < ~5% over the long timed run.
+    warm_cfg = cfg if nreads <= 1000 else cfg.replace(I=(0, 300))
+    run_tpu(db, las, warm_cfg, use_mesh=("mesh" in c["feats"]) or None)
     t0 = time.time()
     if "parts2" in c["feats"]:
         outdir = os.path.join(cachedir, f"parts-{c['name']}")
