@@ -475,14 +475,21 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             keys.append(best)
         key = jnp.stack(keys, axis=2).reshape(sc.shape)
         if mix:
-            # stay in the sc4 domain: clamp-from-below + strip the priority
-            # bits (max+and, vs compare/select/shift).  Invalid states are
-            # no longer pinned to EXACTLY negs — they live in
-            # [EW_INVALID, EW_INVALID + 2^19), always < KEY_T, never
-            # underflowing (the max re-clamps every step), and every
-            # consumer only tests `> KEY_T` / ok-ness, never equality with
-            # negs at valid windows.
-            sc = jnp.maximum(key, negs) & -4
+            # stay in the sc4 domain: strip the priority bits in place
+            # (and, vs compare/select/shift); clamp-from-below only at
+            # GROUP BOUNDARIES.  Invalid states are no longer pinned to
+            # EXACTLY negs — between clamps they drift within
+            # [EW_INVALID * (gsz + 1), EW_INVALID + gsz * 2^18]: downward
+            # at most gsz + 1 = 5 invalid+invalid adds from a clamped
+            # -2^28 (5 * -2^28 > INT32_MIN, no underflow), upward at most
+            # gsz valid-table adds (< 2^18 each) from -2^28, always
+            # < KEY_T = -2^27.  Every consumer (max tie rule, end-pick
+            # eligibility, ok-ness) only tests `> KEY_T`, never equality
+            # with negs, so skipping 3 of 4 clamps is bit-exact — one
+            # full-[R, C] pass fewer on those steps.
+            sc = key & -4
+            if field == gsz - 1 or tt == t_hi:
+                sc = jnp.maximum(sc, negs)
         else:
             sc = jnp.where(key > key_t, key >> 2, negs)
         # backpointer field stores the RAW priority key & 3 == 3 - c; the

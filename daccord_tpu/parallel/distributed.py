@@ -88,22 +88,32 @@ def run_part(db_path: str, las_path: str, cfg: DaccordConfig, part: int,
         return json.load(open(manifest_path(outdir, part)))
 
     sub = cfg.replace(I=(lo, hi), J=(0, 1))
-    if use_oracle:
-        from daccord_tpu.oracle.consensus import run_oracle
-        records, stats = run_oracle(db_path, las_path, sub)
-    else:
-        from daccord_tpu.pipeline.runner import run_tpu
-        # mesh off by default: concurrent part processes sharing host cores
-        # starve CPU-collective rendezvous; per-host meshes are opt-in
-        records, stats = run_tpu(db_path, las_path, sub, use_mesh=use_mesh)
-
     pp = part_path(outdir, part)
     fd, tmp = tempfile.mkstemp(dir=outdir, suffix=".tmp")
     os.close(fd)
-    write_fasta(tmp, records)
+    if use_oracle:
+        from daccord_tpu.oracle.consensus import run_oracle
+        records, stats = run_oracle(db_path, las_path, sub)
+        write_fasta(tmp, records)
+        nrec = len(records)
+    else:
+        from daccord_tpu.pipeline.runner import run_tpu
+        # mesh off by default: concurrent part processes sharing host cores
+        # starve CPU-collective rendezvous; per-host meshes are opt-in.
+        # Output STREAMS to the part file as the ordered cursor advances
+        # (run_tpu sink): a part's FASTA never accumulates in RAM, so part
+        # memory is bounded by the live-read working set at any part size.
+        nrec = 0
+        with open(tmp, "w") as f:
+            def _sink(name, seq, _f=f):
+                nonlocal nrec
+                write_fasta_record(_f, name, seq)
+                nrec += 1
+            _, stats = run_tpu(db_path, las_path, sub, use_mesh=use_mesh,
+                               sink=_sink)
     os.replace(tmp, pp)  # atomic publish
     entry = {
-        "part": part, "interval": [lo, hi], "records": len(records),
+        "part": part, "interval": [lo, hi], "records": nrec,
         "reads": stats.reads, "windows": stats.windows,
         "sha256": _fasta_sha(pp),
     }

@@ -157,12 +157,21 @@ def _pp_front_shm(slot_aread):
 
 def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
             profile=None,
-            use_mesh: Optional[bool] = None
+            use_mesh: Optional[bool] = None,
+            sink=None
             ) -> Tuple[List[Tuple[str, str]], RunStats]:
     """Full corrected-FASTA run using the device consensus step.
 
     use_mesh: shard window batches across all local devices via the data
     mesh (SURVEY §2.4 DP row).  Default: auto (on when >1 device visible).
+    sink: optional ``(name, seq) -> None`` callable receiving each output
+    record the moment the ordered-emission cursor reaches it (same order
+    and bytes as the returned list).  With a sink the returned record list
+    stays EMPTY, so nothing output-sized accumulates in RAM — the last
+    piece of per-run state that scaled with part size (the per-read row
+    pools and winner lists were already freed as reads emit).  Note the
+    ordered cursor still buffers completed reads BEHIND an unfinished one
+    (bounded in practice by the depth-bucket flush horizon, not part size).
     """
     db = DazzlerDB.open(db_path)
     las = open_piles(las_path)
@@ -285,7 +294,11 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         winners[slot] = None
         cur = emit_state["cursor"]          # ordered emission (ALGORITHM §8)
         while cur < nreads and ready_recs[cur] is not None:
-            records.extend(ready_recs[cur])
+            if sink is not None:
+                for rec in ready_recs[cur]:
+                    sink(*rec)
+            else:
+                records.extend(ready_recs[cur])
             ready_recs[cur] = []
             cur += 1
         emit_state["cursor"] = cur

@@ -72,6 +72,21 @@ def test_streaming_collector_equals_oracle(dataset):
     assert tstats.k2_retries == ostats.k2_retries
 
 
+def test_streaming_sink_equals_records(dataset):
+    """run_tpu(sink=...) streams the SAME records in the same order as the
+    returned list, and the returned list stays empty (bounded-output mode,
+    VERDICT r3 weak 6: nothing output-sized accumulates in RAM)."""
+    ds, db_path, las_path = dataset
+    cfg = DaccordConfig(I=(0, 6), batch_windows=32,
+                        max_flight_batches=2, bucket_flush_reads=1)
+    base_recs, _ = run_tpu(db_path, las_path, cfg, use_mesh=False)
+    streamed = []
+    ret_recs, _ = run_tpu(db_path, las_path, cfg, use_mesh=False,
+                          sink=lambda name, seq: streamed.append((name, seq)))
+    assert ret_recs == []
+    assert streamed == base_recs
+
+
 def test_streaming_frees_row_pools(dataset, monkeypatch):
     """The bounded-memory invariant: every ReadRows the streamed run builds
     is released by the end of the run (row pools do not accumulate)."""
