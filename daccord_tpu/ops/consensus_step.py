@@ -314,12 +314,14 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         # unless the 'xtb' ablation (XLA-side traceback) is requested or
         # t_hi won't fit the candidate block
         fuse_tb = "xtb" not in dp_impl and k + t_hi <= 128
-        # windows per grid step: 2 by default (the sequential DP chain is
-        # scheduling-bound at [R, C] widths; batching two windows widens
-        # every VPU op — bit-identical per window).  '_w1'/'_w4' dp_impl
-        # tokens override for ablation; odd batch sizes fall back to 1
-        # inside cyc_dbg_dp.
-        wpg = 1 if "_w1" in dp_impl else 4 if "_w4" in dp_impl else 2
+        # windows per grid step: 1 by default since round 4.  Round 3
+        # measured wpg=2 ~7% faster with the int8 histogram scratch; with
+        # the bf16 scratch (no i8->f32 convert in the mix) the ordering
+        # inverts — on-chip full-kernel probe at B=256/D1=9
+        # (scripts/probe_wpg_scr.py): wpg=1 15.56ms < wpg=2 16.47 <
+        # wpg=4 18.27 (i8: 20.52 / 19.19 / 18.27).  '_w2'/'_w4' dp_impl
+        # tokens override for ablation; all bit-identical per window.
+        wpg = 2 if "_w2" in dp_impl else 4 if "_w4" in dp_impl else 1
         bpp, ends, endok = cyc_dbg_dp(
             ewps, src, snk, pbw, codes,
             k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,

@@ -609,14 +609,15 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
 @functools.partial(jax.jit, static_argnames=("k", "t_lo", "t_hi", "g_step",
                                              "pbw_band", "interpret",
                                              "transpose_impl", "fuse_tb",
-                                             "ablate", "cnt_bound", "wpg"))
+                                             "ablate", "cnt_bound", "wpg",
+                                             "scr_i8"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu",
                fuse_tb: bool = False, ablate: str = "",
-               cnt_bound: int = -1, wpg: int = 1):
+               cnt_bound: int = -1, wpg: int = 1, scr_i8: bool = False):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -684,12 +685,16 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
             s = (k + 2) // 2
             # histogram scratch dtype by the exact per-bin count bound
             # (cnt_bound = D1 * pos_bin positions per position-bin when the
-            # caller knows it; the padded gp otherwise): int8 halves the
-            # bf16 VMEM read traffic of the in-kernel mix, the dominant
-            # stream of each table refresh.  All dtypes are exact for
-            # counts within their integer range.
+            # caller knows it; the padded gp otherwise).  bf16 for counts
+            # <= 256 (8-bit mantissa, exact): round 3 used int8 below 128
+            # to halve the VMEM read traffic of the mix, but the on-chip
+            # round-4 ablation showed the i8->f32 converts COST ~4ms/batch
+            # at the common D1=9 shape (mix stage 4.87ms with i8 scratch
+            # vs 0.89ms with direct-f32 reads at D1=65) — the convert
+            # unpacking dominates the saved bandwidth.  scr_i8 keeps the
+            # old choice selectable for ablation.
             bound = cnt_bound if cnt_bound >= 0 else gp
-            scr_dt = (jnp.int8 if bound <= 127 else
+            scr_dt = (jnp.int8 if (scr_i8 and bound <= 127) else
                       jnp.bfloat16 if bound <= 256 else jnp.float32)
             scratch_shapes = [pltpu.VMEM(
                 (wpg, h, nbp, 4 ** s, 4 ** (k + 1 - s)), scr_dt)]
@@ -760,12 +765,15 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch_shapes,
-        # block VMEM is ~NBT*2MB ewp (or ~nbp*3MB bf16 H, or the ~10.5MB
+        # block VMEM is ~NBT*2MB ewp (or ~nbp*3MB bf16 H, or the ~21MB
         # bf16 histogram scratch in codes mode) + ~1MB rest; with
         # double-buffering, the in-kernel mixed tables (h * 1MB) and loop
         # temporaries the scoped need stays well under the chip's VMEM
-        # (v5e: 128MB).  Raise the 16MB default limit.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20),
+        # (v5e: 128MB).  Raise the 16MB default limit (112MB: wpg=4 at the
+        # bench shape needs 103.7MB — measured from the compiler's scoped
+        # accounting — and the 100MB round-3 limit rejected it).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2 ** 20),
         interpret=interpret,
     )(*main_in, *extra_in, eligp, score0, jnp.asarray(_natmaps(k)))
     ends = meta[:, 0, :nT]

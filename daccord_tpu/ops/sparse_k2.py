@@ -7,15 +7,30 @@ reference's sparse ``DebruijnGraph`` at large k (gt1/daccord
 ``src/daccord.cpp`` adaptive k 8->12; SURVEY §2.1, §7.3 item 6):
 
 - nodes: per-window sorted-unique k-mer codes (two jnp.sorts; BIG-padded)
-- src/snk and per-step-bin edge weights: scatter-adds into node/edge slots
-  (searchsorted membership; ALGORITHM §4 positional weighting included)
-- max-plus DP: gather scores at edge sources, scatter-MAX packed keys
-  ``(score+w)*4 + (3-c)`` into edge targets — for a fixed target v and
-  first-base c the source u is determined, so the packed key's priority
-  bits reproduce the oracle's first-max smallest-c tie rule exactly
+- src/snk and per-step-bin edge weights: dense compare-reduce over codes
+  (ALGORITHM §4 positional weighting included)
+- max-plus DP over packed keys ``(score+w)*4 + (3-c)`` — for a fixed
+  target v and first-base c the source u is determined, so the packed
+  key's priority bits reproduce the oracle's first-max smallest-c tie
+  rule exactly
 - end picking: max score then min node CODE among maxima (first-max by
   code order, matching the sorted-node oracle)
 - traceback on node codes; candidate scoring reuses the dense stage 4
+
+NO data-dependent gathers/scatters/searchsorteds anywhere (round 4): the
+round-3 form used searchsorted membership + per-step
+``take_along_axis``/``.at[].max``, and the on-chip stage ablation
+(scripts/ablate_k2.py, BENCH r4 notes) showed those HLOs lower to
+SERIAL element loops on TPU — ~150us per [B, Ne]-sized op, 85% of the
+step's 404us/window at the common D1=9 retry shape.  Every index-space
+operation is instead a fused dense compare-reduce over the code arrays
+([B, Ne, Nn] broadcast compare + select + max/sum, which XLA fuses into
+one streaming pass): "gather score at edge source" becomes
+``max_n where(nodes == e_u, sc)``, "scatter-max into targets" becomes
+``max_e where(e_v == nodes, key)``, and the src/snk/weight-bin
+scatter-adds become masked sums over positions.  All arithmetic stays
+int32; one slot matches per real code, so every reduce sees exactly the
+round-3 value — bit-identical by construction and by test.
 
 Bit-identical to oracle/dbg.py window_consensus at any k
 (tests/test_sparse_k2.py); all integer arithmetic.
@@ -45,14 +60,6 @@ def _unique_sorted(codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sort(jnp.where(first & (s < BIGC), s, BIGC), axis=1)
 
 
-def _lookup(tables: jnp.ndarray, queries: jnp.ndarray):
-    """Batched searchsorted: (slot index clamped, found mask)."""
-    idx = jax.vmap(jnp.searchsorted)(tables, queries)
-    idxc = jnp.minimum(idx, tables.shape[1] - 1)
-    found = jnp.take_along_axis(tables, idxc, axis=1) == queries
-    return idxc, found
-
-
 def _ablate_out(B: int, LC: int, *ts) -> ConsensusOut:
     """Timing-only truncated output: shaped like the real result, data-
     dependent on the stage tensors so nothing is dead-code-eliminated.
@@ -79,8 +86,8 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     intended for the k2 retry pass but exact at any k with 4^(k+1) < 2^30.
 
     ablate: TIMING-ONLY truncation for on-chip stage attribution (VERDICT
-    r3 item 6).  One of 'nodes' (stop after node sort + src/snk scatters),
-    'edges' (+ edge sort, endpoint lookups, weight-bin scatters), 'dp'
+    r3 item 6).  One of 'nodes' (stop after node sort + src/snk sums),
+    'edges' (+ edge sort, weight-bin sums, endpoint codes), 'dp'
     (+ max-plus scan and end picking), 'tb' (+ traceback walk); '' = full
     step (+ candidate scoring).  Truncated results are meaningless.
     """
@@ -110,29 +117,34 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
 
     Nn = D1 * P1
     Ne = D1 * P2
-    b_idx = jnp.arange(B)[:, None]
 
     LC_ab = k + t_hi
     kf = jnp.where(kvalid, kcodes, BIGC).reshape(B, Nn)
     nodes = _unique_sorted(kf)                            # [B, Nn]
-    kidx, _ = _lookup(nodes, kf)                          # invalid -> w=0
-    # plq columns shared [W'] or per-window [B, W'] (ALGORITHM §7 v2)
+    # plq columns shared [W'] or per-window [B, W'] (ALGORITHM §7 v2).
+    # src/snk accumulation as a fused masked sum over positions (invalid
+    # positions carry weight 0; BIGC pad slots match only BIGC pad
+    # positions, whose weight is 0 — identical to the round-3 clamped
+    # scatter-add, without its serial scatter loop)
     ps_b = plq_src[None, :P1] if plq_src.ndim == 1 else plq_src[:, :P1]
     pk_b = plq_snk[None, :P1] if plq_snk.ndim == 1 else plq_snk[:, :P1]
     wsrc = jnp.where(kvalid, ps_b[:, None, :], 0).reshape(B, Nn)
     wsnk = jnp.where(kvalid, pk_b[:, None, :], 0).reshape(B, Nn)
-    src = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsrc)
-    snk = jnp.zeros((B, Nn), jnp.int32).at[b_idx, kidx].add(wsnk)
+    kmatch = kf[:, :, None] == nodes[:, None, :]          # [B, Nn, Nn]
+    src = jnp.sum(jnp.where(kmatch, wsrc[:, :, None], 0),
+                  axis=1, dtype=jnp.int32)                # [B, Nn]
+    snk = jnp.sum(jnp.where(kmatch, wsnk[:, :, None], 0),
+                  axis=1, dtype=jnp.int32)
     if ablate == "nodes":
         return _ablate_out(B, LC_ab, nodes, src, snk)
 
     ef = jnp.where(evalid, ecodes, BIGC).reshape(B, Ne)
     eu_all = _unique_sorted(ef)                           # [B, Ne]
-    eidx, _ = _lookup(eu_all, ef)
+    ematch = ef[:, :, None] == eu_all[:, None, :]         # [B, Ne, Ne]
     if pbw is None:
         ones = jnp.where(evalid, 1, 0).reshape(B, Ne)
-        wbins = jnp.zeros((B, Ne, 1), jnp.int32
-                          ).at[b_idx, eidx, 0].add(ones)
+        wbins = jnp.sum(jnp.where(ematch, ones[:, :, None], 0),
+                        axis=1, dtype=jnp.int32)[:, :, None]
     else:
         pbin = jnp.minimum(pos2 // g_step, pbw.shape[-2] - 1)
         if pbw.ndim == 2:
@@ -143,27 +155,32 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
             rows_full = jnp.broadcast_to(pr_p[:, None], (B, D1, P2, NBT))
         rows = jnp.where(evalid.reshape(B, Ne)[:, :, None],
                          rows_full.reshape(B, Ne, NBT), 0)
-        wbins = jnp.zeros((B, Ne, NBT), jnp.int32
-                          ).at[b_idx, eidx].add(rows)
+        wbins = jnp.stack(
+            [jnp.sum(jnp.where(ematch, rows[:, :, None, j], 0),
+                     axis=1, dtype=jnp.int32) for j in range(NBT)],
+            axis=2)                                        # [B, Ne, NBT]
         wbins = jnp.minimum(wbins, PBW_CLAMP)
 
     mask_k = (1 << (2 * k)) - 1
     e_u = eu_all >> 2
-    e_v = eu_all & mask_k
+    e_v = jnp.where(eu_all < BIGC, eu_all & mask_k, BIGC)
     e_c = jnp.where(eu_all < BIGC, e_u >> (2 * (k - 1)), 0)
-    eui, uok = _lookup(nodes, jnp.where(eu_all < BIGC, e_u, BIGC))
-    evi, vok = _lookup(nodes, jnp.where(eu_all < BIGC, e_v, BIGC))
-    ekeep = uok & vok & (eu_all < BIGC)
+    # real edges' endpoints are always observed k-mers (u at the same
+    # position, v one right of it), so the round-3 membership tests
+    # reduce to the pad guard; the compare-reduces below match nothing
+    # for BIGC operands anyway
+    ekeep = eu_all < BIGC
     pr = 3 - e_c
     if ablate == "edges":
-        return _ablate_out(B, LC_ab, nodes, src, snk, wbins, eui, evi,
-                           ekeep, pr)
+        return _ablate_out(B, LC_ab, nodes, src, snk, wbins,
+                           ekeep.astype(jnp.int32), pr)
 
     have_src = src.max(axis=1) > 0
     source_slot = jnp.argmax(src, axis=1).astype(jnp.int32)  # first max =
     #                                      smallest slot = smallest code
-    score = jnp.full((B, Nn), NEG, jnp.int32).at[
-        jnp.arange(B), source_slot].set(jnp.where(have_src, 0, NEG))
+    score = jnp.where((jnp.arange(Nn, dtype=jnp.int32)[None, :]
+                       == source_slot[:, None]) & have_src[:, None],
+                      0, NEG)                              # dense, no .at[]
 
     elig = snk > 0
 
@@ -175,11 +192,19 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         return jnp.where(ok, codesel.min(axis=1), 0), ok
 
     def dp_core(sc, jb):
-        sc_e = jnp.take_along_axis(sc, eui, axis=1)
+        # "gather score at edge source" as a fused compare-reduce: exactly
+        # one node slot holds e_u for a real edge (nodes are unique), so
+        # the max IS that score; pad edges match nothing -> NEG
+        m_src = nodes[:, None, :] == e_u[:, :, None]       # [B, Ne, Nn]
+        sc_e = jnp.max(jnp.where(m_src, sc[:, None, :], NEG), axis=2)
         wt = wbins[:, :, jb]
         live = (sc_e > NEG_HALF) & (wt > 0) & ekeep
         key = jnp.where(live, (sc_e + wt) * 4 + pr, NEG)
-        kmax = jnp.full((B, Nn), NEG, jnp.int32).at[b_idx, evi].max(key)
+        # "scatter-max packed keys into edge targets": max over the edges
+        # whose target code equals the node slot's code (same max, same
+        # packed-key tie rule as the round-3 .at[].max)
+        m_tgt = e_v[:, :, None] == nodes[:, None, :]       # [B, Ne, Nn]
+        kmax = jnp.max(jnp.where(m_tgt, key[:, :, None], NEG), axis=1)
         new = jnp.where(kmax > NEG_HALF, kmax >> 2, NEG)
         bp = jnp.where(kmax > NEG_HALF, kmax & 3, 0).astype(jnp.uint8)
         return new, bp
@@ -245,9 +270,13 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         v, bases = carry
         bp_t, tt = xs                                        # bp_t [B, Nn]
         act = tt <= Ts
-        slot, _ = _lookup(nodes, v)
-        prb = jnp.take_along_axis(bp_t, slot, axis=1)
-        c = 3 - prb.astype(jnp.int32)
+        # walk-state backpointer lookup as a compare-reduce over the nT
+        # candidate states (dead candidates of not-ok windows may match
+        # nothing -> 0; their cands never reach a winner, endok is false)
+        m = nodes[:, None, :] == v[:, :, None]               # [B, nT, Nn]
+        prb = jnp.max(jnp.where(m, bp_t[:, None, :].astype(jnp.int32), 0),
+                      axis=2)
+        c = 3 - prb
         col = jnp.where(act, (v & 3), 0).astype(jnp.uint8)
         bases = jax.lax.dynamic_update_slice_in_dim(
             bases, col[:, :, None], tt - 1, axis=2)

@@ -3,11 +3,13 @@
 item 6): time consensus_step_sparse truncated after each stage at the
 retry shapes the runner actually uses (B=64, depth-bucketed D1).
 
-Stages (cumulative; deltas attribute cost):
-  nodes   rolling codes, node unique-sort, src/snk scatter-adds
-  edges   + edge unique-sort, endpoint lookups, weight-bin scatters
-  dp      + max-plus scan (gather + scatter-max per step) and end picking
-  tb      + traceback walk (searchsorted per step)
+Stages (cumulative; deltas attribute cost).  Round-4 note: the round-3
+form used searchsorted/gather/scatter HLOs (serial element loops on TPU,
+~85% of the step); all stages are now fused dense compare-reduces:
+  nodes   rolling codes, node unique-sort, src/snk masked sums
+  edges   + edge unique-sort, weight-bin masked sums, endpoint codes
+  dp      + max-plus scan (two compare-reduces per step) and end picking
+  tb      + traceback walk (compare-reduce per step)
   full    + candidate scoring (shared dense stage 4)
 
 Truncated results are meaningless; run on the real chip.

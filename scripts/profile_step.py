@@ -104,8 +104,8 @@ def main():
     else:
         j_tb = jax.jit(lambda b, e: cs._traceback(
             b, e, k=k, t_lo=t_lo, t_hi=t_hi))
-    j_sc = jax.jit(lambda S, sl, ns, c, l, eo: cs._score_pick(
-        S, sl, ns, c, l, eo, k=k, w=w, t_lo=t_lo, t_hi=t_hi, e_q6=1_000_000))
+    j_sc = jax.jit(lambda S, sl, ns, c, eo: cs._score_pick(
+        S, sl, ns, c, eo, k=k, w=w, t_lo=t_lo, t_hi=t_hi, e_q6=1_000_000))
     j_full = lambda S, sl, ns: cs.consensus_step(
         S, sl, ns, plq_src, plq_snk, pbw, k=k, w=w, path_delta=pd,
         dp_impl=impl, pos_bin=cfg.pos_bin)
@@ -134,7 +134,7 @@ def main():
         # asynchronously; 10 in flight + materialized f32 H inputs OOM HBM
         t_dp = timeit(j_dp, ecn, src, snk, iters=3)
         t_tb = timeit(j_tb, bps, ends)
-        t_sc = timeit(j_sc, S, slen, nstr, cands, lc, endok)
+        t_sc = timeit(j_sc, S, slen, nstr, cands, endok)
         t_full = timeit(j_full, S, slen, nstr)
         print(f"B={B} D1={D1}: tables={t_tab*1e3:7.2f}ms dp={t_dp*1e3:7.2f}ms "
               f"traceback={t_tb*1e3:7.2f}ms score={t_sc*1e3:7.2f}ms | "

@@ -39,31 +39,39 @@ def piles(rng, nwin, depth):
     return out
 
 
-def run(S, slen, nstr, ps, pk, impl):
-    return consensus_step(S, slen, nstr, ps, pk, k=CFG.k, w=CFG.w,
-                          path_delta=CFG.path_delta, dp_impl=impl)
+def run(S, slen, nstr, ps, pk, impl, pbw=None):
+    return consensus_step(S, slen, nstr, ps, pk, pbw, k=CFG.k, w=CFG.w,
+                          path_delta=CFG.path_delta, dp_impl=impl,
+                          pos_bin=CFG.pos_bin)
 
 
 def main():
     impls = sys.argv[1:] or ["cyc"]
+    pbw = None
+    if impls and impls[0] == "--pbw":
+        # WEIGHTED on-chip equality: the production mix/codes path
+        # (positional edge weighting) vs the scan reference
+        impls = impls[1:] or ["cyc"]
+        from daccord_tpu.oracle.consensus import build_pbw
+        pbw = build_pbw(ErrorProfile(0.03, 0.08, 0.04), CFG)
     rng = np.random.default_rng(7)
     B = 64
     S, slen, nstr = pack_windows(piles(rng, B, 20), CFG, B)
     ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], dtype=np.int32)
     pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - CFG.k], dtype=np.int32)
 
-    a = run(S, slen, nstr, ps, pk, "scan")
+    a = run(S, slen, nstr, ps, pk, "scan", pbw)
     a.ok.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(5):
-        a = run(S, slen, nstr, ps, pk, "scan")
+        a = run(S, slen, nstr, ps, pk, "scan", pbw)
         a.ok.block_until_ready()
     t_scan = (time.perf_counter() - t0) / 5
     print(f"scan: {t_scan*1e3:.2f} ms/batch({B})")
 
     for impl in impls:
         try:
-            b = run(S, slen, nstr, ps, pk, impl)
+            b = run(S, slen, nstr, ps, pk, impl, pbw)
             b.ok.block_until_ready()
         except Exception as e:
             print(f"{impl}: FAILED {type(e).__name__}: {str(e)[:500]}")
@@ -73,7 +81,7 @@ def main():
                  for f in ("ok", "length", "bases", "cost"))
         t0 = time.perf_counter()
         for _ in range(5):
-            b = run(S, slen, nstr, ps, pk, impl)
+            b = run(S, slen, nstr, ps, pk, impl, pbw)
             b.ok.block_until_ready()
         t_i = (time.perf_counter() - t0) / 5
         print(f"{impl}: {t_i*1e3:.2f} ms/batch({B})  equal={eq}  "
