@@ -179,48 +179,12 @@ def main():
     import jax
     log(f"bench: devices={jax.devices()}")
     t0 = time.time()
-    from daccord_tpu.pipeline.batcher import DEPTH_MENU, consensus_batch
-    from daccord_tpu.oracle.consensus import build_pbw as _bpbw
-    from daccord_tpu.oracle.consensus import build_plq as _bplq
-    from daccord_tpu.oracle.eprof import ErrorProfile as _EP
-    import numpy as _np
-    _prof = _EP(0.03, 0.08, 0.04)
-    _plq = _bplq(_prof, cfg)
-    _pbw = _bpbw(_prof, cfg)
-    _rng = _np.random.default_rng(0)
-    # the run mixes positional-eprof table groups inside batches, so the
-    # plq/pbw operands are PER-WINDOW ([B, W'] / [B, NB, NB]); warm that
-    # specialization for every depth bucket, plus the sparse k2 shape
-    from daccord_tpu.ops.consensus_step import consensus_step as _cs
-    from daccord_tpu.ops.sparse_k2 import consensus_step_sparse as _sp
-    from daccord_tpu.pipeline.batcher import e_q6_of as _e6
-    from daccord_tpu.pipeline.batcher import pack_windows as _pw
-    import jax as _jax
-    _B = cfg.batch_windows
-    _ps1 = _np.ascontiguousarray(_plq[:cfg.wprime, 0], _np.int32)
-    _pk1 = _np.ascontiguousarray(_plq[:cfg.wprime, cfg.w - cfg.k], _np.int32)
-    _psB = _np.tile(_ps1, (_B, 1))
-    _pkB = _np.tile(_pk1, (_B, 1))
-    _pwB = None if _pbw is None else _np.tile(_pbw, (_B, 1, 1))
-    for d1 in DEPTH_MENU:
-        if d1 > cfg.d + 1:
-            continue
-        piles = [[_rng.integers(0, 4, size=cfg.w).astype(_np.uint8)
-                  for _ in range(d1)] for _ in range(2)]
-        S, sl, ns = _pw(piles, cfg, _B, d1)
-        kw = dict(k=cfg.k, w=cfg.w, path_delta=cfg.path_delta,
-                  e_q6=_e6(cfg), pos_bin=cfg.pos_bin)
-        _jax.block_until_ready(_cs(S, sl, ns, _ps1, _pk1, _pbw, **kw))
-        _jax.block_until_ready(_cs(S, sl, ns, _psB, _pkB, _pwB, **kw))
-    _S = _rng.integers(0, 4, size=(64, cfg.d + 1, cfg.wprime)).astype(_np.uint8)
-    _sl = _np.full((64, cfg.d + 1), cfg.w, _np.int32)
-    _ns = _np.full(64, 4, _np.int32)
-    _pk2 = _np.ascontiguousarray(_plq[:cfg.wprime, cfg.w - cfg.k2], _np.int32)
-    _jax.block_until_ready(_sp(
-        _S, _sl, _ns, _np.tile(_ps1, (64, 1)), _np.tile(_pk2, (64, 1)),
-        None if _pbw is None else _np.tile(_pbw, (64, 1, 1)), k=cfg.k2,
-        w=cfg.w, path_delta=cfg.path_delta, e_q6=_e6(cfg),
-        pos_bin=cfg.pos_bin))
+    # warm EVERY runner-dispatchable executable (depth buckets x shared/
+    # per-window operand forms x depth-bucketed k2 retries) — the shared
+    # helper the config suite uses too (pipeline/warmup.py)
+    from daccord_tpu.pipeline.warmup import warm_step_variants
+    nv = warm_step_variants(cfg)
+    log(f"bench: warmed {nv} step variants")
     warm = cfg.replace(I=(0, 2))
     run_tpu(db, las, warm)
     warmup_s = time.time() - t0

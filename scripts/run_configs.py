@@ -103,10 +103,15 @@ def run_config(idx, scale, cachedir):
     # multi-second device-side load (config 1 measured 152s with partial
     # warmup vs ~4s steady)
     # (must warm the SAME executables the timed pass runs: the mesh path
-    # compiles separate shard_map-wrapped kernels).  Large configs warm on
-    # a read-id-prefix subset: 300 reads at >= 40x coverage touch every
-    # depth bucket + the k2 retry shapes, and any straggler executable's
-    # one-time load amortizes to < ~5% over the long timed run.
+    # compiles separate shard_map-wrapped kernels).  warm_step_variants
+    # covers the full (depth bucket x operand form x k2) executable space
+    # directly — a read-prefix warm run alone misses shallow buckets
+    # (genome-edge reads) and the per-window remainder forms, which round
+    # 4 measured as ~330 s of mid-run compile/load inside a "warmed"
+    # config-5 pass.  Large configs then warm-run a 300-read prefix for
+    # the front-half/mesh incidentals.
+    from daccord_tpu.pipeline.warmup import warm_step_variants
+    warm_step_variants(cfg, log=log)
     warm_cfg = cfg if nreads <= 1000 else cfg.replace(I=(0, 300))
     run_tpu(db, las, warm_cfg, use_mesh=("mesh" in c["feats"]) or None)
     t0 = time.time()
