@@ -314,14 +314,21 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         # unless the 'xtb' ablation (XLA-side traceback) is requested or
         # t_hi won't fit the candidate block
         fuse_tb = "xtb" not in dp_impl and k + t_hi <= 128
-        # windows per grid step: 1 by default since round 4.  Round 3
-        # measured wpg=2 ~7% faster with the int8 histogram scratch; with
-        # the bf16 scratch (no i8->f32 convert in the mix) the ordering
-        # inverts — on-chip full-kernel probe at B=256/D1=9
-        # (scripts/probe_wpg_scr.py): wpg=1 15.56ms < wpg=2 16.47 <
-        # wpg=4 18.27 (i8: 20.52 / 19.19 / 18.27).  '_w2'/'_w4' dp_impl
-        # tokens override for ablation; all bit-identical per window.
-        wpg = 2 if "_w2" in dp_impl else 4 if "_w4" in dp_impl else 1
+        # windows per grid step: depth-dependent since round 4, probed on
+        # chip at B=256 (scripts/probe_wpg_scr.py).  Shallow shapes use
+        # the bf16 histogram scratch (D1 * pos_bin <= 256, counts exact)
+        # and favor wpg=1: 15.56ms < wpg=2 16.47 < wpg=4 18.27 at D1=9 —
+        # round 3's wpg=2 win belonged to the int8 scratch's i8->f32
+        # converts (20.52/19.19/18.27 with i8).  Deep shapes (f32
+        # scratch) favor wpg=2: 22.13ms < wpg=1 23.5-23.7 at D1=65
+        # (wpg=4 exceeds the 112MB VMEM limit there).  '_w1'/'_w2'/'_w4'
+        # dp_impl tokens override for ablation; all bit-identical per
+        # window.
+        # cnt_bound == D1 * pos_bin on the production codes path; the
+        # bf16/f32 scratch boundary is exactly cnt_bound <= 256
+        deep = not (0 <= cnt_bound <= 256)
+        wpg = (1 if "_w1" in dp_impl else 2 if "_w2" in dp_impl
+               else 4 if "_w4" in dp_impl else (2 if deep else 1))
         bpp, ends, endok = cyc_dbg_dp(
             ewps, src, snk, pbw, codes,
             k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
