@@ -329,13 +329,21 @@ def _dp(edges, src: jnp.ndarray, snk: jnp.ndarray,
         deep = not (0 <= cnt_bound <= 256)
         wpg = (1 if "_w1" in dp_impl else 2 if "_w2" in dp_impl
                else 4 if "_w4" in dp_impl else (2 if deep else 1))
+        # per-step int8 priority scratch ('_pri' token): replaces 3 int32
+        # bookkeeping passes per DP step with one quarter-width store.
+        # Measured NEUTRAL-to-slightly-worse on-chip (probe_pri_tb.py:
+        # 15.64 vs 15.51ms at D1=9/wpg=1; 22.26 vs 22.37 at D1=65/wpg=2)
+        # — the DP chain is latency-bound, not pass-count-bound — so the
+        # 2-bit group packing stays the default; kept selectable for
+        # ablation on future hardware.
+        pri_tb = fuse_tb and "_pri" in dp_impl
         bpp, ends, endok = cyc_dbg_dp(
             ewps, src, snk, pbw, codes,
             k=k, t_lo=t_lo, t_hi=t_hi, g_step=g_step,
             pbw_band=pbw_band,
             interpret=dp_impl.endswith("interpret"),
             transpose_impl="mxu" if "mxu" in dp_impl else "xlu",
-            fuse_tb=fuse_tb, cnt_bound=cnt_bound, wpg=wpg)
+            fuse_tb=fuse_tb, cnt_bound=cnt_bound, wpg=wpg, pri_tb=pri_tb)
         return ("cyc_fused" if fuse_tb else "cyc", bpp), ends, endok
     ecnb = edges
     NBT = ecnb.shape[1]

@@ -240,7 +240,8 @@ def _transpose(sc, impl: str, neg: int = NEG):
 def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 nbp: int, pbw_band: int, transpose_impl: str,
                 codes_mode: bool = False, gp: int = 0, interp: bool = False,
-                fuse_tb: bool = False, ablate: str = "", wpg: int = 1):
+                fuse_tb: bool = False, ablate: str = "", wpg: int = 1,
+                pri_tb: bool = False):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
     at step-bin boundaries — the XLA mix materializes its f32 dot output to
@@ -278,6 +279,15 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
     {noend: end-picking only at the last step; mix1: mixed tables built for
     bin 0 only and reused; hist1: histograms built for position-bin 0 only;
     notb: skip the fused traceback walk}.
+
+    pri_tb (requires fuse_tb): per-step PRIORITY scratch instead of 2-bit
+    group packing.  The default path spends 3 full-[R, C] int32 passes per
+    DP step on backpointer bookkeeping (&3, <<2*field, |=) plus a group
+    write; with pri_tb the step stores ``(key & 3)`` straight to a per-step
+    int8 VMEM plane (one quarter-width store) and the traceback's one-hot
+    row-selects read that plane directly (values 0..3: bf16-exact, the same
+    dot shapes).  Bit-identical outputs; same VMEM footprint (t_hi int8
+    planes ~= nG int32 group planes).
 
     wpg: windows per grid step.  The sequential t_hi-step DP chain has only
     [R, C] (~64 VPU tiles at k=8) of parallelism per op — measured ~1.2
@@ -389,7 +399,8 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         if field == 0:
             if tt > 1:
                 sc = _transpose(sc, transpose_impl, negs)
-            bp_acc = jnp.zeros(sc.shape, jnp.int32)
+            if not pri_tb:
+                bp_acc = jnp.zeros(sc.shape, jnp.int32)
 
         # expose digit q as the middle axis of the sublane half
         if std:
@@ -496,9 +507,14 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # tracebacks (in-kernel and consensus_step._traceback_cyc) invert
         # with one tiny op on their [*, nT]-sized state instead of a full
         # [R, C] pass per DP step here
-        bp_acc = bp_acc | ((key & 3) << (2 * field))
+        if pri_tb:
+            # per-step int8 priority plane: one quarter-width store
+            # replaces the shift/or/group-write int32 bookkeeping
+            bps_scr[tt - 1] = (key & 3).astype(jnp.int8)
+        else:
+            bp_acc = bp_acc | ((key & 3) << (2 * field))
 
-        if field == gsz - 1 or tt == t_hi:
+        if (field == gsz - 1 or tt == t_hi) and not pri_tb:
             if fuse_tb:
                 bps_scr[:, g] = bp_acc               # VMEM only, i32
             else:
@@ -585,15 +601,19 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
             rows2 = []
             for w in range(W_):
                 ohr = (riota2 == r[w]).astype(odt2)          # [TT, R]
+                plane = bps_scr[tt - 1, w] if pri_tb else bps_scr[w, g]
                 rows2.append(jax.lax.dot_general(
-                    ohr, bps_scr[w, g].astype(odt2),
+                    ohr, plane.astype(odt2),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))     # [TT, C]
             rows2 = jnp.stack(rows2)                         # [W, TT, C]
             ohc = (ciota2 == c).astype(jnp.float32)
             byte = jnp.sum(rows2 * ohc, axis=2,
                            keepdims=True).astype(jnp.int32)  # [W, TT, 1]
-            cc2 = 3 - ((byte >> (2 * field)) & 3)   # fields hold 3 - c
+            if pri_tb:
+                cc2 = 3 - byte                      # plane holds 3 - c
+            else:
+                cc2 = 3 - ((byte >> (2 * field)) & 3)  # fields hold 3 - c
             act = subl[None] >= (tt - t_lo)                  # tt <= T
             base = jnp.where(act, v & 3, 0)
             acc = jnp.where(colio == (k + tt - 1), base, acc)
@@ -610,14 +630,15 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                                              "pbw_band", "interpret",
                                              "transpose_impl", "fuse_tb",
                                              "ablate", "cnt_bound", "wpg",
-                                             "scr_i8"))
+                                             "scr_i8", "pri_tb"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
                pbw_band: int = -1,
                interpret: bool = False, transpose_impl: str = "xlu",
                fuse_tb: bool = False, ablate: str = "",
-               cnt_bound: int = -1, wpg: int = 1, scr_i8: bool = False):
+               cnt_bound: int = -1, wpg: int = 1, scr_i8: bool = False,
+               pri_tb: bool = False):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -724,10 +745,13 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                                    ).reshape(B, R, C)
 
     band = nbp if pbw_band < 0 else pbw_band
+    if pri_tb:
+        assert fuse_tb, "pri_tb requires the fused traceback"
     if fuse_tb:
         assert k + t_hi <= 128, "fused traceback needs k + t_hi <= 128"
         scratch_shapes = scratch_shapes + [
-            pltpu.VMEM((wpg, nG, R, C), jnp.int32)]
+            pltpu.VMEM((t_hi, wpg, R, C), jnp.int8) if pri_tb
+            else pltpu.VMEM((wpg, nG, R, C), jnp.int32)]
         out0_shape = jax.ShapeDtypeStruct((B, 128, 128), jnp.uint8)
         out0_spec = pl.BlockSpec((wpg, 128, 128), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -745,7 +769,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                           transpose_impl=transpose_impl,
                           codes_mode=codes is not None, gp=gp,
                           interp=interpret, fuse_tb=fuse_tb, ablate=ablate,
-                          wpg=wpg),
+                          wpg=wpg, pri_tb=pri_tb),
         grid=(B // wpg,),
         out_shape=(
             out0_shape,

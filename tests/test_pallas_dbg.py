@@ -42,7 +42,8 @@ def _run(piles, dp_impl):
 
 
 @pytest.mark.parametrize("impl", ["pallas_interpret", "cyc_interpret",
-                                  "cyc_xtb_interpret"])
+                                  "cyc_xtb_interpret",
+                                  "cyc_pri_interpret"])
 def test_pallas_dp_equals_scan(impl):
     rng = np.random.default_rng(3)
     piles = _piles(rng, 8, 8)
