@@ -63,6 +63,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.stitch_jstar_runs.restype = None
+            lib.ragged_gather_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.ragged_gather_rows.restype = None
             lib.cpu_consensus_batch.argtypes = (
                 [ctypes.c_void_p] * 7
                 + [ctypes.c_int64] * 11

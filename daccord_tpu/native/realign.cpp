@@ -317,4 +317,20 @@ void bpos_at_batch(const uint8_t* A, const int64_t* la, const uint8_t* B,
     }
 }
 
+// Ragged row gather for device-batch packing (pipeline/rows.py
+// pack_rows_batch): copy nrows variable-length byte rows from a flat pool
+// into fixed-stride batch rows.  The numpy fancy-index equivalent builds
+// ~2 int64 index arrays over every element (~100MB of temporaries per
+// 256x65-window batch at 60x coverage); here it is one memcpy per row.
+// Reference role: libmaus2 buffered pile assembly (SURVEY §2.2 trace
+// containers / buffered IO rows).
+void ragged_gather_rows(uint8_t* dstS, const uint8_t* pool,
+                        const int64_t* dst_row, const int64_t* src_start,
+                        const int32_t* lens, int64_t nrows, int64_t Wp) {
+    for (int64_t r = 0; r < nrows; ++r) {
+        std::memcpy(dstS + dst_row[r] * Wp, pool + src_start[r],
+                    (size_t)lens[r]);
+    }
+}
+
 }  // extern "C"

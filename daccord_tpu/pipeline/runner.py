@@ -464,7 +464,19 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
     # but forked processes do: each worker opens its own mmap handles and
     # ships back the pure-numpy ReadRows (~100KB/read of IPC); ex.map yields
     # in submission order, so consumption stays deterministic.
-    nworkers = cfg.t if cfg.t > 0 else 1
+    # -t 0 (default) = auto.  At 10x the pool measured break-even vs
+    # inline (startup + IPC ~= the savings, RESULTS front-half table) but
+    # at 40-60x coverage the front half is ~6x the work per read and
+    # becomes the PIPELINE WALL inline (60x phase split: front_dispatch
+    # 24.2s of a 24.8s pass); the pool's measured 3.1x then feeds the
+    # device fast enough to hide behind it again.  The las header knows
+    # the mean pile depth before any work starts — fan out at >= 20
+    # overlaps/read, stay inline (no pool startup) below.
+    if cfg.t > 0:
+        nworkers = cfg.t
+    else:
+        depth = las.novl / max(1, db.nreads)    # mean pile size (upfront)
+        nworkers = (os.cpu_count() or 1) if depth >= 20 else 1
 
     def _consume(slot, rr):
         reads_rows[slot] = rr
