@@ -241,7 +241,8 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                 nbp: int, pbw_band: int, transpose_impl: str,
                 codes_mode: bool = False, gp: int = 0, interp: bool = False,
                 fuse_tb: bool = False, ablate: str = "", wpg: int = 1,
-                pri_tb: bool = False):
+                pri_tb: bool = False, hist_i8: bool = False,
+                ilp: bool = False):
     """nbp == 0: refs[:h] are packed-key tables [1, NBT, 16, A, C] u16
     (XLA-side mix+pack).  nbp > 0: the mix + clamp + key-pack runs IN-KERNEL
     at step-bin boundaries — the XLA mix materializes its f32 dot output to
@@ -342,7 +343,13 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # < 2^24.  Scratch dtype from the exact count bound (see caller).
         s = (k + 2) // 2
         NR, CW = 4 ** s, 4 ** (k + 1 - s)
-        odt = jnp.float32 if interp else jnp.bfloat16
+        # operand dtype: 0/1 indicators are exact in bf16 AND int8; int8
+        # dots ('_hi8' probe) would run at 2x MXU rate if v5e Mosaic lowers
+        # s8xs8->s32 natively.  f32 in interpret mode (the CPU backend
+        # rejects bf16/int8 dots at dispatch).
+        odt = (jnp.float32 if interp else
+               jnp.int8 if hist_i8 else jnp.bfloat16)
+        acc_t = jnp.int32 if (hist_i8 and not interp) else jnp.float32
         riota = jax.lax.broadcasted_iota(jnp.int32, (NR, gp), 0)
         ciota = jax.lax.broadcasted_iota(jnp.int32, (CW, gp), 0)
         for w in range(W_):
@@ -352,7 +359,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                     ohc = (ciota == cols_ref[w, ph, n:n + 1]).astype(odt)
                     Hf = jax.lax.dot_general(
                         ohr, ohc, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=acc_t)
                     hscr_ref[w, ph, n] = Hf.astype(hscr_ref.dtype)
 
     sc = score0_ref[:]                 # [W, R, C] std layout (== natural)
@@ -375,7 +382,17 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         prc_tab = prf_tab + float(PBW_CLAMP * 4)
     else:
         negs, neghs, key_t = NEG, NEG_HALF, NEG_HALF
-    bp_acc = None
+    # ilp: emit each window's DP chain as a SEPARATE [1, R, C] op stream
+    # inside the same unrolled loop (chunks of width 1) instead of one
+    # [W, R, C]-wide op per step (chunks = 1 of width W).  The per-chunk
+    # code below is identical either way, so results are bit-identical;
+    # what changes is the instruction mix the Mosaic scheduler sees — two
+    # independent dependence chains can overlap where one wider chain
+    # cannot (probe: scripts/probe_dp_ilp.py, ~9% at 2 chains, negative
+    # at 4).
+    NCh = W_ if (ilp and W_ > 1) else 1
+    CWd = W_ // NCh
+    bp_accs = [None] * NCh
     if fuse_tb:
         # endv[s] accumulates the end state of candidate T = t_lo + s
         # (sublane-major so the traceback's one-hot row builds need no
@@ -389,6 +406,7 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         subl = jax.lax.broadcasted_iota(jnp.int32, (TT, 1), 0)
         endv = jnp.zeros((W_, TT, 1), jnp.int32)
 
+    scs = ([sc[ci:ci + 1] for ci in range(NCh)] if NCh > 1 else [sc])
     for tt in range(1, t_hi + 1):
         jbin = min((tt - 1) // g_step, nbt - 1)      # static step-bin index
         if ab & {"mix1", "hist1"}:
@@ -398,16 +416,16 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         g, field = divmod(tt - 1, gsz)
         if field == 0:
             if tt > 1:
-                sc = _transpose(sc, transpose_impl, negs)
+                scs = [_transpose(s, transpose_impl, negs) for s in scs]
             if not pri_tb:
-                bp_acc = jnp.zeros(sc.shape, jnp.int32)
+                bp_accs = [jnp.zeros(s.shape, jnp.int32) for s in scs]
 
         # expose digit q as the middle axis of the sublane half
         if std:
             A, Bv = 4 ** (k - 1 - q), 4 ** (q - h)
         else:
             A, Bv = 4 ** (h - 1 - q), 4 ** q
-        L = sc.shape[-1]
+        L = scs[0].shape[-1]
         # packed-key max-plus step: key = score*4 + count*4 + (3-c); a pure
         # 4-way max replaces the compare/select/backpointer bookkeeping
         # (among equal scores the largest 3-c, i.e. smallest c, wins — the
@@ -415,8 +433,6 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         # pre-shifted (sc4 domain) so no per-step shift is needed; the u16
         # path shifts here (NEG<<2 == INT32_MIN exactly; adding a packed
         # table entry < 2^16 keeps it far below NEG_HALF).
-        sc4 = sc if mix else (sc << 2)
-        scv = sc4.reshape(W_, A, 4, Bv, L)
         ph = q % h
         if mix:
             if key_bin[ph] != jbin:          # static: refresh once per bin
@@ -468,66 +484,86 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
         else:
             ew = ewp_refs[ph][:, jbin]    # [W, 16, 4^(k-1-h), 4^h] u16
 
-        keys = []
-        for bb in range(4):
-            best = None
-            for c in range(4):
-                if mix:
-                    cand = (scv[:, :, c]
-                            + ew[:, c * 4 + bb].reshape(W_, A, Bv, L))
-                else:
-                    # widen u16 -> i32 BEFORE comparing (v5e Mosaic has no
-                    # 16-bit compare: "Target does not support this
-                    # comparison")
-                    wv = (ew[:, c * 4 + bb].reshape(W_, A, Bv, L)
-                          .astype(jnp.int32))
-                    cand = jnp.where(wv > 0, scv[:, :, c] + wv, NEG)
-                best = cand if best is None else jnp.maximum(best, cand)
-            keys.append(best)
-        key = jnp.stack(keys, axis=2).reshape(sc.shape)
-        if mix:
-            # stay in the sc4 domain: strip the priority bits in place
-            # (and, vs compare/select/shift); clamp-from-below only at
-            # GROUP BOUNDARIES.  Invalid states are no longer pinned to
-            # EXACTLY negs — between clamps they drift within
-            # [EW_INVALID * (gsz + 1), EW_INVALID + gsz * 2^18]: downward
-            # at most gsz + 1 = 5 invalid+invalid adds from a clamped
-            # -2^28 (5 * -2^28 > INT32_MIN, no underflow), upward at most
-            # gsz valid-table adds (< 2^18 each) from -2^28, always
-            # < KEY_T = -2^27.  Every consumer (max tie rule, end-pick
-            # eligibility, ok-ness) only tests `> KEY_T`, never equality
-            # with negs, so skipping 3 of 4 clamps is bit-exact — one
-            # full-[R, C] pass fewer on those steps.
-            sc = key & -4
-            if field == gsz - 1 or tt == t_hi:
-                sc = jnp.maximum(sc, negs)
-        else:
-            sc = jnp.where(key > key_t, key >> 2, negs)
-        # backpointer field stores the RAW priority key & 3 == 3 - c; the
-        # tracebacks (in-kernel and consensus_step._traceback_cyc) invert
-        # with one tiny op on their [*, nT]-sized state instead of a full
-        # [R, C] pass per DP step here
-        if pri_tb:
-            # per-step int8 priority plane: one quarter-width store
-            # replaces the shift/or/group-write int32 bookkeeping
-            bps_scr[tt - 1] = (key & 3).astype(jnp.int8)
-        else:
-            bp_acc = bp_acc | ((key & 3) << (2 * field))
-
-        if (field == gsz - 1 or tt == t_hi) and not pri_tb:
-            if fuse_tb:
-                bps_scr[:, g] = bp_acc               # VMEM only, i32
+        ews = ([ew[ci:ci + 1] for ci in range(NCh)] if NCh > 1 else [ew])
+        for ci in range(NCh):
+            sc4 = scs[ci] if mix else (scs[ci] << 2)
+            scv = sc4.reshape(CWd, A, 4, Bv, L)
+            ewc = ews[ci]
+            keys = []
+            for bb in range(4):
+                best = None
+                for c in range(4):
+                    if mix:
+                        cand = (scv[:, :, c]
+                                + ewc[:, c * 4 + bb].reshape(CWd, A, Bv, L))
+                    else:
+                        # widen u16 -> i32 BEFORE comparing (v5e Mosaic has
+                        # no 16-bit compare: "Target does not support this
+                        # comparison")
+                        wv = (ewc[:, c * 4 + bb].reshape(CWd, A, Bv, L)
+                              .astype(jnp.int32))
+                        cand = jnp.where(wv > 0, scv[:, :, c] + wv, NEG)
+                    best = cand if best is None else jnp.maximum(best, cand)
+                keys.append(best)
+            key = jnp.stack(keys, axis=2).reshape(scs[ci].shape)
+            if mix:
+                # stay in the sc4 domain: strip the priority bits in place
+                # (and, vs compare/select/shift); clamp-from-below only at
+                # GROUP BOUNDARIES.  Invalid states are no longer pinned to
+                # EXACTLY negs — between clamps they drift within
+                # [EW_INVALID * (gsz + 1), EW_INVALID + gsz * 2^18]:
+                # downward at most gsz + 1 = 5 invalid+invalid adds from a
+                # clamped -2^28 (5 * -2^28 > INT32_MIN, no underflow),
+                # upward at most gsz valid-table adds (< 2^18 each) from
+                # -2^28, always < KEY_T = -2^27.  Every consumer (max tie
+                # rule, end-pick eligibility, ok-ness) only tests
+                # `> KEY_T`, never equality with negs, so skipping 3 of 4
+                # clamps is bit-exact — one full-[R, C] pass fewer on
+                # those steps.
+                nsc = key & -4
+                if field == gsz - 1 or tt == t_hi:
+                    nsc = jnp.maximum(nsc, negs)
             else:
-                # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp
-                # write traffic (and the XLA-side traceback's convert)
-                bpp_ref[:, g] = bp_acc.astype(jnp.int16)
+                nsc = jnp.where(key > key_t, key >> 2, negs)
+            scs[ci] = nsc
+            # backpointer field stores the RAW priority key & 3 == 3 - c;
+            # the tracebacks (in-kernel and consensus_step._traceback_cyc)
+            # invert with one tiny op on their [*, nT]-sized state instead
+            # of a full [R, C] pass per DP step here
+            if pri_tb:
+                # per-step int8 priority plane: one quarter-width store
+                # replaces the shift/or/group-write int32 bookkeeping
+                if NCh > 1:
+                    bps_scr[tt - 1, ci] = (key & 3)[0].astype(jnp.int8)
+                else:
+                    bps_scr[tt - 1] = (key & 3).astype(jnp.int8)
+            else:
+                bp_accs[ci] = bp_accs[ci] | ((key & 3) << (2 * field))
 
-        if tt >= t_lo and not ("noend" in ab and tt != t_hi):
-            # DEFERRED end-picking: snapshot the post-step scores to VMEM
-            # scratch (one copy) instead of running two global max/min
-            # reduces + masking inline in the sequential DP chain; the
-            # reductions run batched per phase group after the loop.
-            end_scr[tt - t_lo] = sc
+            if (field == gsz - 1 or tt == t_hi) and not pri_tb:
+                if fuse_tb:
+                    if NCh > 1:
+                        bps_scr[ci, g] = bp_accs[ci][0]    # VMEM only, i32
+                    else:
+                        bps_scr[:, g] = bp_accs[0]
+                else:
+                    # group bytes < 2^(2*gsz) <= 2^8: int16 halves the bpp
+                    # write traffic (and the XLA-side traceback's convert)
+                    if NCh > 1:
+                        bpp_ref[ci, g] = bp_accs[ci][0].astype(jnp.int16)
+                    else:
+                        bpp_ref[:, g] = bp_accs[0].astype(jnp.int16)
+
+            if tt >= t_lo and not ("noend" in ab and tt != t_hi):
+                # DEFERRED end-picking: snapshot the post-step scores to
+                # VMEM scratch (one copy) instead of running two global
+                # max/min reduces + masking inline in the sequential DP
+                # chain; the reductions run batched per phase group after
+                # the loop.
+                if NCh > 1:
+                    end_scr[tt - t_lo, ci] = scs[ci][0]
+                else:
+                    end_scr[tt - t_lo] = scs[ci]
 
     # ---- deferred end-picking: one batched reduction pass per phase
     # group.  Steps sharing q % h share the eligibility mask and the
@@ -630,7 +666,8 @@ def _cyc_kernel(*refs, k: int, t_lo: int, t_hi: int, g_step: int, nbt: int,
                                              "pbw_band", "interpret",
                                              "transpose_impl", "fuse_tb",
                                              "ablate", "cnt_bound", "wpg",
-                                             "scr_i8", "pri_tb"))
+                                             "scr_i8", "pri_tb", "hist_i8",
+                                             "ilp"))
 def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                codes=None,
                *, k: int, t_lo: int, t_hi: int, g_step: int = 0,
@@ -638,7 +675,8 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                interpret: bool = False, transpose_impl: str = "xlu",
                fuse_tb: bool = False, ablate: str = "",
                cnt_bound: int = -1, wpg: int = 1, scr_i8: bool = False,
-               pri_tb: bool = False):
+               pri_tb: bool = False, hist_i8: bool = False,
+               ilp: bool = False):
     """Default (fuse_tb=False): (bpp [B, nG, R, C] i16 2-bit-packed,
     ends [B, nT] i32 NATURAL, endok [B, nT] bool).
 
@@ -769,7 +807,7 @@ def cyc_dbg_dp(ewps, src: jnp.ndarray, snk: jnp.ndarray, pbw=None,
                           transpose_impl=transpose_impl,
                           codes_mode=codes is not None, gp=gp,
                           interp=interpret, fuse_tb=fuse_tb, ablate=ablate,
-                          wpg=wpg, pri_tb=pri_tb),
+                          wpg=wpg, pri_tb=pri_tb, hist_i8=hist_i8, ilp=ilp),
         grid=(B // wpg,),
         out_shape=(
             out0_shape,

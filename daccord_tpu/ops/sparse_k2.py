@@ -23,14 +23,27 @@ round-3 form used searchsorted membership + per-step
 (scripts/ablate_k2.py, BENCH r4 notes) showed those HLOs lower to
 SERIAL element loops on TPU — ~150us per [B, Ne]-sized op, 85% of the
 step's 404us/window at the common D1=9 retry shape.  Every index-space
-operation is instead a fused dense compare-reduce over the code arrays
-([B, Ne, Nn] broadcast compare + select + max/sum, which XLA fuses into
-one streaming pass): "gather score at edge source" becomes
-``max_n where(nodes == e_u, sc)``, "scatter-max into targets" becomes
-``max_e where(e_v == nodes, key)``, and the src/snk/weight-bin
-scatter-adds become masked sums over positions.  All arithmetic stays
-int32; one slot matches per real code, so every reduce sees exactly the
-round-3 value — bit-identical by construction and by test.
+operation is instead a fused dense compare over the code arrays
+(broadcast compare + select + max/sum — one streaming pass, no indices),
+and the src/snk/weight-bin scatter-adds are masked sums over positions.
+
+Round 5 factored the PER-STEP compares two-level ("sqrt-factored one-hot",
+round-4 NEXT_STEPS #3): the round-4 DP step ran two full [B, Ne, Nn]
+compare-reduces per step (~360M VPU lanes/step at D1=65 — 387 of the
+479 us/window).  Node slots are split into groups of 128; which group
+holds a given edge's source (and, with edges SORTED BY TARGET code so a
+node's <= 4 in-edges are consecutive, which group holds a node's edge
+run) is a STEP-INVARIANT one-hot computed once outside the scan.  Each
+DP step then only (a) gathers the relevant 128-slot group row per edge /
+per node with one batched one-hot MXU dot (one-hot f32 dots are exact:
+every score/key/sentinel is an integer power-of-two-scaled value
+< 2^24 in magnitude or exactly -2^29), and (b) compare-maxes inside the
+gathered row — [*, 128] lanes instead of [*, Nn].  The scatter-max
+becomes a windowed same-target run max (<= 4 consecutive slots, 6
+masked shifts) before the gather.  All arithmetic stays int32 at the
+compare/max level; exactly one slot matches per real code, so every
+reduce sees exactly the round-4 value — bit-identical by construction
+and by test (dp_mode='flat' keeps the round-4 form for ablation).
 
 Bit-identical to oracle/dbg.py window_consensus at any k
 (tests/test_sparse_k2.py); all integer arithmetic.
@@ -74,12 +87,13 @@ def _ablate_out(B: int, LC: int, *ts) -> ConsensusOut:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "path_delta", "e_q6",
-                                             "pos_bin", "ablate"))
+                                             "pos_bin", "ablate", "dp_mode"))
 def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
                           nstr: jnp.ndarray, plq_src: jnp.ndarray,
                           plq_snk: jnp.ndarray, pbw=None, *, k: int, w: int,
                           path_delta: int, e_q6: int = 1_000_000,
-                          pos_bin: int = 8, ablate: str = "") -> ConsensusOut:
+                          pos_bin: int = 8, ablate: str = "",
+                          dp_mode: str = "auto") -> ConsensusOut:
     """One batched consensus pass at k-mer size k, sparse tables.
 
     Same contract as consensus_step (S [B, D1, W'], row 0 = A substring);
@@ -90,6 +104,11 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     'edges' (+ edge sort, weight-bin sums, endpoint codes), 'dp'
     (+ max-plus scan and end picking), 'tb' (+ traceback walk); '' = full
     step (+ candidate scoring).  Truncated results are meaningless.
+
+    dp_mode: 'auto' (default: 'grouped' on TPU, 'flat' elsewhere) |
+    'grouped' (two-level one-hot group gathers per DP step) | 'flat'
+    (round-4 full compare-reduces, kept for ablation) — bit-identical
+    outputs.
     """
     from daccord_tpu.oracle.offset_likely import PBW_CLAMP
     B, D1, Wp = S.shape
@@ -118,6 +137,25 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
     Nn = D1 * P1
     Ne = D1 * P2
 
+    if dp_mode == "auto":
+        # resolved at trace time (dp_mode is static).  On-chip crossovers
+        # (scripts/probe_k2_grouped.py, B=64): the flat compare-reduce wins
+        # at shallow shapes (dispatch/sort-floor bound), the limb-dot
+        # grouped form wins around D1=33, the single-HIGHEST-dot grouped
+        # form at the deepest shapes where the doubled limb intermediates
+        # are HBM-bound.  CPU (and interpret tests) always flat — the
+        # compare-reduce vectorizes better there.
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:
+            plat = "cpu"
+        if plat != "tpu" or Nn <= 700:
+            dp_mode = "flat"
+        elif Nn <= 1960:
+            dp_mode = "grouped_limb"
+        else:
+            dp_mode = "grouped"
+
     LC_ab = k + t_hi
     kf = jnp.where(kvalid, kcodes, BIGC).reshape(B, Nn)
     nodes = _unique_sorted(kf)                            # [B, Nn]
@@ -139,8 +177,20 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         return _ablate_out(B, LC_ab, nodes, src, snk)
 
     ef = jnp.where(evalid, ecodes, BIGC).reshape(B, Ne)
-    eu_all = _unique_sorted(ef)                           # [B, Ne]
-    ematch = ef[:, :, None] == eu_all[:, None, :]         # [B, Ne, Ne]
+    # unique edges in TARGET-major order: key2 = v*4 + c is a bijection of
+    # the natural edge code e = c*4^k + v (u = c*4^(k-1) + (v >> 2),
+    # bb = v & 3), so one sort in the key2 domain yields unique edges with
+    # every node's <= 4 in-edges (one per leading base c) CONSECUTIVE —
+    # the property the grouped scatter-max below relies on
+    mask_k = (1 << (2 * k)) - 1
+    ef2 = jnp.where(ef < BIGC, (ef & mask_k) * 4 + (ef >> (2 * k)), BIGC)
+    ev2 = _unique_sorted(ef2)                             # [B, Ne] (v, c)
+    ekeep = ev2 < BIGC
+    e_v = jnp.where(ekeep, ev2 >> 2, BIGC)
+    e_c = jnp.where(ekeep, ev2 & 3, 0)
+    e_u = jnp.where(ekeep, e_c * (4 ** (k - 1)) + (e_v >> 2), BIGC >> 2)
+    e_nat = jnp.where(ekeep, (e_c << (2 * k)) + e_v, BIGC)
+    ematch = ef[:, :, None] == e_nat[:, None, :]          # [B, Ne, Ne]
     if pbw is None:
         ones = jnp.where(evalid, 1, 0).reshape(B, Ne)
         wbins = jnp.sum(jnp.where(ematch, ones[:, :, None], 0),
@@ -161,15 +211,10 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
             axis=2)                                        # [B, Ne, NBT]
         wbins = jnp.minimum(wbins, PBW_CLAMP)
 
-    mask_k = (1 << (2 * k)) - 1
-    e_u = eu_all >> 2
-    e_v = jnp.where(eu_all < BIGC, eu_all & mask_k, BIGC)
-    e_c = jnp.where(eu_all < BIGC, e_u >> (2 * (k - 1)), 0)
     # real edges' endpoints are always observed k-mers (u at the same
     # position, v one right of it), so the round-3 membership tests
-    # reduce to the pad guard; the compare-reduces below match nothing
-    # for BIGC operands anyway
-    ekeep = eu_all < BIGC
+    # reduce to the pad guard; the compares below match nothing for
+    # BIGC/sentinel operands anyway
     pr = 3 - e_c
     if ablate == "edges":
         return _ablate_out(B, LC_ab, nodes, src, snk, wbins,
@@ -191,10 +236,147 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         codesel = jnp.where(m == mx[:, None], nodes, BIGC)
         return jnp.where(ok, codesel.min(axis=1), 0), ok
 
-    def dp_core(sc, jb):
-        # "gather score at edge source" as a fused compare-reduce: exactly
-        # one node slot holds e_u for a real edge (nodes are unique), so
-        # the max IS that score; pad edges match nothing -> NEG
+    # ---- two-level ("sqrt-factored") step-invariant lookup tables ----
+    # Node slots and v-sorted edge slots are split into 128-wide groups.
+    # WHICH group holds a given edge's source node / a given node's
+    # in-edge run depends only on the sorted code arrays, so the group
+    # one-hots (and the in-group equality masks) are computed ONCE here;
+    # each DP step then pays two batched one-hot MXU dots (group-row
+    # gathers) plus [*, 128]-lane masked maxes instead of two full
+    # [B, Ne, Nn] compare-reduces (round-4 NEXT_STEPS #3).
+    SG = 128
+    Gn, Ge = -(-Nn // SG), -(-Ne // SG)
+    padn, pade = Gn * SG - Nn, Ge * SG - Ne
+
+    def _grp_dot(oh, valsG, nlimb):
+        """[B, X, G] one-hot @ [B, G, SG] int32 -> [B, X, SG] gathered
+        group rows, as nlimb NATIVE bf16 MXU dots over 8-bit limbs.
+
+        TPU matmuls run the operands in bf16 (8-bit mantissa); a direct
+        f32 gather of values > 256 rounds (measured: corrupted every
+        code gather on-chip), and Precision.HIGHEST costs 6 bf16 passes
+        per dot.  Splitting the int32 values into 8-bit limbs keeps every
+        operand exactly representable in bf16: limb products are one-hot
+        selected integers < 2^8 (top limb: signed, |.| <= 2^7), per-slot
+        sums have at most one contributor, and the f32 recombination
+        (limb * 2^(8i)) stays < 2^24 per term.  nlimb = ceil(value bits
+        / 8): callers pass 2 for values in [-2^15, 2^15), 4 for codes."""
+        acc = None
+        for i in range(nlimb - 1, -1, -1):
+            limb = (valsG >> (8 * i)) if i == nlimb - 1 else \
+                   ((valsG >> (8 * i)) & 255)
+            # each limb dot is exact on its own (operands: 0/1 one-hot and
+            # ints with |.| <= 255, both bf16-exact; single contributor per
+            # slot); convert to int32 BEFORE recombining — an f32 recombine
+            # would round 25-bit-plus gathered codes
+            d = jax.lax.dot_general(
+                oh.astype(jnp.bfloat16), limb.astype(jnp.bfloat16),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            acc = d if acc is None else (acc << 8) + d
+        return acc
+
+    def _grp_dot_hi(oh, valsG):
+        """Single-dot gather at Precision.HIGHEST (full f32 operands, ~6
+        bf16 MXU passes).  Exact for any integer |v| < 2^24 or exact
+        power of two; one output tensor instead of nlimb — measured faster
+        than the limb form at the deepest shape (D1=65), slower at D1=33
+        (probe_k2_grouped.py), hence both are kept selectable."""
+        return jax.lax.dot_general(
+            oh, valsG.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+
+    nodesG = jnp.pad(nodes, ((0, 0), (0, padn)),
+                     constant_values=2 ** 30).reshape(B, Gn, SG)
+    leaders = nodesG[:, :, 0]                              # [B, Gn]
+    # source side: real e_u is itself a node code, and group g holds all
+    # node slots in [leaders[g], leaders[g+1]) (nodes unique + sorted), so
+    # e_u's node lives in group (#leaders <= e_u) - 1; sentinel e_u
+    # (2^28 / empty windows) either lands in a group with no matching
+    # code or (all-BIGC node row) yields count 0 -> all-zero one-hot
+    grp_u = jnp.sum((leaders[:, None, :] <= e_u[:, :, None])
+                    .astype(jnp.int32), axis=2) - 1        # [B, Ne]
+    ohu = (grp_u[:, :, None]
+           == jnp.arange(Gn, dtype=jnp.int32)).astype(jnp.float32)
+    m_src2 = _grp_dot(ohu, nodesG, 4) == e_u[:, :, None]   # [B, Ne, SG]
+    # target side: node v's in-edge run is <= 4 consecutive v-sorted slots
+    # with key2 in [4v, 4v+3]; the run's LAST slot is the last edge slot
+    # with key2 <= 4v+3, i.e. it sits in group (#vleaders <= 4v+3) - 1.
+    # The per-step windowed run max (below) propagates the run's max key
+    # to EVERY slot of the run, so matching any run slot inside that one
+    # gathered group suffices even when the run straddles the boundary.
+    ev2G = jnp.pad(ev2, ((0, 0), (0, pade)),
+                   constant_values=2 ** 30).reshape(B, Ge, SG)
+    vleaders = ev2G[:, :, 0]
+    tgt = jnp.where(nodes < BIGC, nodes * 4 + 3, BIGC)
+    cnt_v = jnp.sum((vleaders[:, None, :] <= tgt[:, :, None])
+                    .astype(jnp.int32), axis=2)            # [B, Nn]
+    ohv = ((cnt_v - 1)[:, :, None]
+           == jnp.arange(Ge, dtype=jnp.int32)).astype(jnp.float32)
+    m_tgt2 = ((_grp_dot(ohv, ev2G, 4) >> 2)
+              == jnp.where(nodes < BIGC, nodes, -1)[:, :, None])
+    # cnt_v == 0 (node code below every edge target) must not alias the
+    # all-zero one-hot's gathered zeros onto node code 0
+    m_tgt2 &= (cnt_v > 0)[:, :, None]
+
+    def _sh_up(x, i, fill):
+        return jnp.concatenate(
+            [x[:, i:], jnp.full((B, i), fill, x.dtype)], axis=1)
+
+    def _sh_dn(x, i, fill):
+        return jnp.concatenate(
+            [jnp.full((B, i), fill, x.dtype), x[:, :-i]], axis=1)
+
+    sup = [e_v == _sh_up(e_v, i, -1) for i in (1, 2, 3)]   # same-v masks
+    sdn = [e_v == _sh_dn(e_v, i, -1) for i in (1, 2, 3)]
+
+    # static bounds for the per-step limb gathers: valid scores are
+    # monotone sums of positive step weights from 0 (never negative), so
+    # score <= t_hi * max-step-weight and key = (score + wt) * 4 + 3.
+    # The NEG dead-state sentinel is CLAMPED into the limb domain before
+    # each gather (any bf16-exact negative works — consumers only test
+    # sign, and valid scores/keys are >= 0)
+    wt_max = PBW_CLAMP if pbw is not None else Ne
+    key_max = (t_hi * wt_max + wt_max) * 4 + 3
+    nlv = 2 if key_max < 2 ** 15 else 3
+    SENT = -(2 ** (8 * nlv - 1))
+    if dp_mode == "grouped_limb":
+        def _pgather(oh, vG):
+            return _grp_dot(oh, vG, nlv)
+    else:
+        _pgather = _grp_dot_hi
+
+    def dp_core_grouped(sc, jb):
+        scG = jnp.pad(jnp.maximum(sc, SENT), ((0, 0), (0, padn)),
+                      constant_values=SENT).reshape(B, Gn, SG)
+        sc_e = jnp.max(jnp.where(m_src2, _pgather(ohu, scG), SENT),
+                       axis=2)
+        wt = wbins[:, :, jb]
+        live = (sc_e >= 0) & (wt > 0) & ekeep
+        key = jnp.where(live, (sc_e + wt) * 4 + pr, SENT)
+        # windowed same-v run max: every slot of a v-run (<= 4 slots) ends
+        # up holding the run's max packed key — max is order-insensitive
+        # and the packed priority bits keep the oracle tie rule
+        wkey = key
+        for i in (1, 2, 3):
+            wkey = jnp.maximum(wkey, jnp.where(sup[i - 1],
+                                               _sh_up(key, i, SENT), SENT))
+            wkey = jnp.maximum(wkey, jnp.where(sdn[i - 1],
+                                               _sh_dn(key, i, SENT), SENT))
+        keyG = jnp.pad(wkey, ((0, 0), (0, pade)),
+                       constant_values=SENT).reshape(B, Ge, SG)
+        kmax = jnp.max(jnp.where(m_tgt2, _pgather(ohv, keyG), SENT),
+                       axis=2)
+        new = jnp.where(kmax >= 0, kmax >> 2, NEG)
+        bp = jnp.where(kmax >= 0, kmax & 3, 0).astype(jnp.uint8)
+        return new, bp
+
+    def dp_core_flat(sc, jb):
+        # round-4 form (ablation reference): full compare-reduces per step.
+        # "gather score at edge source": exactly one node slot holds e_u
+        # for a real edge (nodes unique), so the max IS that score; pad
+        # edges match nothing -> NEG
         m_src = nodes[:, None, :] == e_u[:, :, None]       # [B, Ne, Nn]
         sc_e = jnp.max(jnp.where(m_src, sc[:, None, :], NEG), axis=2)
         wt = wbins[:, :, jb]
@@ -208,6 +390,8 @@ def consensus_step_sparse(S: jnp.ndarray, slen: jnp.ndarray,
         new = jnp.where(kmax > NEG_HALF, kmax >> 2, NEG)
         bp = jnp.where(kmax > NEG_HALF, kmax & 3, 0).astype(jnp.uint8)
         return new, bp
+
+    dp_core = dp_core_flat if dp_mode == "flat" else dp_core_grouped
 
     sc = score
     bps_parts, ends_parts, endok_parts = [], [], []

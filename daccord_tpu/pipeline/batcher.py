@@ -19,8 +19,14 @@ import numpy as np
 from daccord_tpu.ops.consensus_step import PAD, ConsensusOut, consensus_step
 from daccord_tpu.utils.config import DaccordConfig
 
-# D1 menu (strings per window incl. the A row); actual cap is cfg.d + 1
-DEPTH_MENU = (9, 17, 33, 65)
+# D1 menu (strings per window incl. the A row); actual cap is cfg.d + 1.
+# Round 5 added 25 and 49: at the paper's 40-60x coverage most windows hold
+# 34-64 strings, and with the round-4 menu every one of them paid the
+# D1=65 padding premium (the deep kernel shape costs ~40% more than D1=49
+# and the histogram/scoring stages scale with D1).  Finer buckets cost only
+# more compiled variants (warmed by pipeline/warmup.py), not correctness:
+# per-window results are depth-padding-invariant (tests/test_e2e.py).
+DEPTH_MENU = (9, 17, 25, 33, 49, 65)
 
 
 def bucket_d1(nstr: int, cap_d1: int) -> int:

@@ -25,8 +25,14 @@ import numpy as np
 
 from daccord_tpu.align.editdp import batch_bpos_at
 from daccord_tpu.formats.las import Overlap, trace_block_bounds
+from daccord_tpu.native.build import get_lib
 from daccord_tpu.pipeline.windows import ReadCache, RealignedOverlap
 from daccord_tpu.utils.config import DaccordConfig
+
+# probe the native library once at import time, not inside the first batch
+# pack (on a host without g++ the failed-build subprocess attempt would
+# otherwise land in the dispatch hot path)
+_LIB = get_lib()
 
 
 @dataclasses.dataclass
@@ -261,14 +267,19 @@ def pack_rows_batch(reads: Sequence[ReadRows], pool: Optional[RowPool],
     # numpy ragged fancy-index fallback otherwise.  Byte-identical (tests);
     # the numpy path builds ~2 full int64 index arrays over every gathered
     # element — measured ~10x the native cost at 60x-coverage batches.
-    from daccord_tpu.native.build import get_lib
-    lib = get_lib()
+    lib = _LIB
+    nrows_total = batch * d1
 
     def _gather(src_parts, dst_parts, len_parts, gpool):
         src_starts = np.ascontiguousarray(np.concatenate(src_parts))
         dst_rows = np.ascontiguousarray(np.concatenate(dst_parts))
         lens32 = np.ascontiguousarray(
             np.concatenate(len_parts).astype(np.int32))
+        # the C loop memcpys without bounds checks (the numpy fallback would
+        # raise IndexError at the buffer end); validate the invariants the
+        # row builder is supposed to guarantee before handing it raw pointers
+        assert lens32.max(initial=0) <= Wp, "row longer than W'"
+        assert dst_rows.max(initial=-1) < nrows_total, "dst row out of batch"
         if lib is not None:
             gpool = np.ascontiguousarray(gpool)
             lib.ragged_gather_rows(

@@ -476,7 +476,24 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         nworkers = cfg.t
     else:
         depth = las.novl / max(1, db.nreads)    # mean pile size (upfront)
-        nworkers = (os.cpu_count() or 1) if depth >= 20 else 1
+        # respect cgroup/affinity limits and cap the auto fan-out: beyond
+        # ~16 workers the per-read IPC and pool startup dominate any
+        # remaining front-half speedup (front half hides behind device
+        # compute long before that).  Flip point MEASURED round 5
+        # (scripts/probe_pool_flip.py, 4-core host): the front-half-only
+        # pool speedup incl. startup is >1 from depth ~8 (0.97x at 4.7,
+        # 1.48x at 8.1, 2.1x at 16.8, 3.5x at 47), but the PIPELINE only
+        # benefits once the inline front half stops hiding behind device
+        # compute: inline costs 3.4 ms/read at depth 17 vs ~13 ms/read of
+        # device work (fully hidden — pool startup would be a pure ~0.2 s
+        # loss per pass), 11.8 ms/read at depth 47 vs ~15 (margin gone;
+        # the 60x phase split showed front_dispatch AS the wall inline).
+        # depth >= 20 keeps ~2x margin below the crossover.
+        try:
+            avail = len(os.sched_getaffinity(0))
+        except AttributeError:              # non-Linux
+            avail = os.cpu_count() or 1
+        nworkers = min(avail, 16) if depth >= 20 else 1
 
     def _consume(slot, rr):
         reads_rows[slot] = rr

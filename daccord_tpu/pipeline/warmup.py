@@ -59,6 +59,14 @@ def warm_step_variants(cfg: DaccordConfig, profile=None, k2_bs: int = 64,
     pw2B = None if pbw is None else np.tile(pbw, (k2_bs, 1, 1))
     kw = dict(w=cfg.w, path_delta=cfg.path_delta, e_q6=e_q6_of(cfg),
               pos_bin=cfg.pos_bin)
+    # Dispatch EVERY variant first, block ONCE at the end: each dispatch
+    # compiles synchronously on host (persistent-cache hits are cheap) but
+    # the expensive part on the tunneled chip is the per-executable FIRST
+    # EXECUTION device load (~10 s each); queuing all executions before any
+    # block lets the runtime overlap those loads instead of serializing
+    # ~10 s x ~#variants (round-4 driver capture: 743 s of strictly-serial
+    # warmup; VERDICT r4 cold-start item).
+    outs = []
     n = 0
     for d1 in DEPTH_MENU:
         if d1 > cfg.d + 1:
@@ -66,23 +74,24 @@ def warm_step_variants(cfg: DaccordConfig, profile=None, k2_bs: int = 64,
         piles = [[rng.integers(0, 4, size=cfg.w).astype(np.uint8)
                   for _ in range(d1)] for _ in range(2)]
         S, sl, ns = pack_windows(piles, cfg, B, d1)
-        jax.block_until_ready(consensus_step(S, sl, ns, ps1, pk1, pbw,
-                                             k=cfg.k, **kw))
+        outs.append(consensus_step(S, sl, ns, ps1, pk1, pbw, k=cfg.k, **kw))
         n += 1
         if per_window:
-            jax.block_until_ready(consensus_step(S, sl, ns, psB, pkB, pwB,
-                                                 k=cfg.k, **kw))
+            outs.append(consensus_step(S, sl, ns, psB, pkB, pwB,
+                                       k=cfg.k, **kw))
             n += 1
         if k2 and cfg.w >= cfg.k2:
             S2, sl2, ns2 = pack_windows(piles, cfg, k2_bs, d1)
-            jax.block_until_ready(consensus_step_sparse(
-                S2, sl2, ns2, ps1, pk2,
-                pbw, k=cfg.k2, **kw))
+            outs.append(consensus_step_sparse(
+                S2, sl2, ns2, ps1, pk2, pbw, k=cfg.k2, **kw))
             n += 1
             if per_window:   # ntab > 1 runs k2 with per-window operands
-                jax.block_until_ready(consensus_step_sparse(
+                outs.append(consensus_step_sparse(
                     S2, sl2, ns2, ps2B, pk2B, pw2B, k=cfg.k2, **kw))
                 n += 1
         if log:
-            log(f"warm: D1={d1} done ({n} variants)")
+            log(f"warm: D1={d1} dispatched ({n} variants)")
+    jax.block_until_ready(outs)
+    if log:
+        log(f"warm: all {n} variants executed")
     return n

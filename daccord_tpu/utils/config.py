@@ -20,7 +20,10 @@ class DaccordConfig:
     w: int = 40                # -w window size
     a: int = 10                # -a window advance
     k: int = 8                 # -k k-mer size (first pass)
-    t: int = 0                 # -t host pipeline workers (0 = #cores)
+    t: int = 0                 # -t host pipeline workers (0 = auto: up to
+                               #    16 cores when mean pile depth >= 20
+                               #    overlaps/read, else inline; flip point
+                               #    measured by scripts/probe_pool_flip.py)
     d: int = 64                # -d/--maxalign max pile depth per window [PINNED]
     m: int = 3                 # -m min window coverage (B strings) [PINNED]
     e: float = 1.0             # -e max window error (1.0 = off) [PINNED]

@@ -31,6 +31,8 @@ def main():
                     help="override sim coverage (uses a fresh tmp dataset)")
     ap.add_argument("--genome-len", type=int, default=0)
     ap.add_argument("--seed", type=int, default=-1)
+    ap.add_argument("--maxalign", type=int, default=0,
+                    help="override -d/--maxalign (pile depth cap)")
     args = ap.parse_args()
 
     if args.backend == "oracle":
@@ -69,6 +71,8 @@ def main():
     cfg = DaccordConfig()
     if args.reads:
         cfg = cfg.replace(I=(0, args.reads))
+    if args.maxalign:
+        cfg = cfg.replace(d=args.maxalign)
     t0 = time.time()
     if args.backend == "tpu":
         from daccord_tpu.pipeline.runner import run_tpu
@@ -125,6 +129,9 @@ def main():
         "corrected_identity": round(1 - cor_rate, 5),
         "improved_fraction": round(n_improved / max(1, n_frag), 4),
         "backend": args.backend,
+        "maxalign": args.maxalign or cfg.d,
+        "run_seconds": round(dt, 1),
+        "reads_per_s": round(stats.reads / dt, 2),
     }), flush=True)
 
 

@@ -54,8 +54,14 @@ def main():
                 o = cyc_dbg_dp(None, src, snk, pbw, codes, **kw)
                 out = (np.asarray(o[0])[:, :nT, :k + t_hi],
                        np.asarray(o[1]), np.asarray(o[2]))
-                if ref is None:
-                    ref, eq = out, True
+                # the equality reference is pinned to a NON-pri run: if the
+                # first non-pri config failed, a pri-vs-pri comparison would
+                # print vacuous equal=True and mask the divergence this
+                # probe exists to catch
+                if ref is None and not pri:
+                    ref, eq = out, "True(ref)"
+                elif ref is None:
+                    eq = "n/a"
                 else:
                     eq = all(np.array_equal(a, b) for a, b in zip(ref, out))
                 print(f"D1={D1} wpg={wpg} pri={pri}: {t*1e3:7.2f}ms "

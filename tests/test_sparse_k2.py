@@ -51,13 +51,14 @@ def _piles(rng, n, depth, repeat=False):
     return piles
 
 
-def _run_sparse(piles, k, pbw):
+def _run_sparse(piles, k, pbw, dp_mode="auto"):
     S, slen, nstr = pack_windows(piles, CFG)
     ps = np.ascontiguousarray(PLQ[:CFG.wprime, 0], np.int32)
     pk = np.ascontiguousarray(PLQ[:CFG.wprime, CFG.w - k], np.int32)
     return consensus_step_sparse(S, slen, nstr, ps, pk, pbw, k=k, w=CFG.w,
                                  path_delta=CFG.path_delta,
-                                 e_q6=e_q6_of(CFG), pos_bin=CFG.pos_bin)
+                                 e_q6=e_q6_of(CFG), pos_bin=CFG.pos_bin,
+                                 dp_mode=dp_mode)
 
 
 def _assert_matches_oracle(piles, out, k, pbw):
@@ -74,11 +75,14 @@ def _assert_matches_oracle(piles, out, k, pbw):
 
 
 @pytest.mark.parametrize("weighted", [True, False])
-def test_sparse_k12_equals_oracle(weighted):
+@pytest.mark.parametrize("dp_mode", ["flat", "grouped"])
+def test_sparse_k12_equals_oracle(weighted, dp_mode):
+    """Both DP forms (the TPU production 'grouped' two-level one-hot and
+    the 'flat' compare-reduce) must equal the oracle bit-exactly."""
     rng = np.random.default_rng(21)
     piles = _piles(rng, 10, 9) + _piles(rng, 6, 9, repeat=True)
     pbw = PBW if weighted else None
-    out = _run_sparse(piles, CFG.k2, pbw)
+    out = _run_sparse(piles, CFG.k2, pbw, dp_mode=dp_mode)
     _assert_matches_oracle(piles, out, CFG.k2, pbw)
 
 
