@@ -185,8 +185,12 @@ def main():
     from daccord_tpu.pipeline.warmup import warm_step_variants
     nv = warm_step_variants(cfg)
     log(f"bench: warmed {nv} step variants")
-    warm = cfg.replace(I=(0, 2))
-    run_tpu(db, las, warm)
+    # FULL-SIZE warm pass: a tiny (2-read) warm run left the first timed
+    # pass ~40% slow in every round-3/4/5 capture — the first full-size
+    # pass pays one-time device allocator/arena growth and host page-cache
+    # fill that the variant warmup (tiny batches) cannot reach.  One
+    # full pass costs ~2.5 s and makes pass 1 steady-state.
+    run_tpu(db, las, cfg)
     warmup_s = time.time() - t0
     log(f"bench: warmup {warmup_s:.1f}s")
     # best of two timed passes: the tunneled single-chip link adds +-30%
