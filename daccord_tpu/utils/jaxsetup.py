@@ -27,10 +27,18 @@ def setup_compilation_cache(path: str = None) -> None:
     if backend == "cpu":
         return  # CPU compiles are fast; cross-machine AOT reuse is unsafe
 
-    cache = path or os.environ.get(
-        "DACCORD_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     f"daccord_tpu_xla_{backend}"))
+    # default to the REPO-LOCAL cache that ships with the checkout (one
+    # shared pool for bench, tools and scripts — a per-user ~/.cache
+    # default silently recompiled the whole variant space the first time
+    # any non-bench entry point ran); fall back to ~/.cache when the
+    # checkout isn't writable (site-installed package)
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".bench_cache", "xla")
+    cache = path or os.environ.get("DACCORD_JAX_CACHE", repo_cache)
+    if not os.access(os.path.dirname(os.path.dirname(cache)), os.W_OK):
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             f"daccord_tpu_xla_{backend}")
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
