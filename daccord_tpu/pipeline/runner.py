@@ -353,11 +353,21 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         winners[slot][wi] = r
         _resolve(slot)
 
+    consume_state = {"max_slot": -1}
+
     def _k2_flush(force=False):
         from daccord_tpu.pipeline.batcher import pack_windows
+        # age-based flush (round-5): a lone retry window in a queue that
+        # never reaches K2_BS used to wait for the END-of-run force flush,
+        # pinning the ordered-emission cursor (and with it every later
+        # read's output buffering) for the whole run.  Flush a partial
+        # queue once its oldest window's read is bucket_flush_reads behind
+        # the front half — same batch-invariance argument as the dense
+        # bucket flush: membership changes only, output bytes identical.
+        horizon = consume_state["max_slot"] - cfg.bucket_flush_reads
         for d1 in sorted(k2q):
             q = k2q[d1]
-            while q and (len(q) >= K2_BS or force):
+            while q and (len(q) >= K2_BS or force or q[0][0] < horizon):
                 ck = q[:K2_BS]
                 del q[:K2_BS]
                 if len(ck) < 16 and cfg.k2_impl == "auto":
@@ -496,6 +506,7 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
         nworkers = min(avail, 16) if depth >= 20 else 1
 
     def _consume(slot, rr):
+        consume_state["max_slot"] = max(consume_state["max_slot"], slot)
         reads_rows[slot] = rr
         winners[slot] = [None] * rr.nwin
         unresolved[slot] = rr.nwin
@@ -552,8 +563,28 @@ def run_tpu(db_path: str, las_path: str, cfg: DaccordConfig,
                     max_workers=nworkers, mp_context=ctx,
                     initializer=_pp_init,
                     initargs=(db_path, las_path, cfg)) as ex:
-                for slot, payload in ex.map(front_fn, enumerate(read_ids),
-                                            chunksize=8):
+                # BOUNDED submission window (round-5 fix): ex.map submits
+                # every job eagerly, so on a device-bound run the workers
+                # race ahead and the completed ReadRows pile up in the
+                # parent — the 4.6 Mb scale run measured 45 GB peak RSS
+                # from ~60k buffered results.  A sliding window of
+                # ~8 x workers in-flight futures keeps the pool busy while
+                # bounding buffered results; consumption stays in
+                # submission order, so batch membership and output bytes
+                # are unchanged.
+                from collections import deque
+                window = max(8 * nworkers, 16)
+                jobs = iter(enumerate(read_ids))
+                fut = deque()
+                for job in jobs:
+                    fut.append(ex.submit(front_fn, job))
+                    if len(fut) >= window:
+                        break
+                while fut:
+                    slot, payload = fut.popleft().result()
+                    nxt = next(jobs, None)
+                    if nxt is not None:
+                        fut.append(ex.submit(front_fn, nxt))
                     _consume(slot, payload if not use_shm
                              else rows_from_shm(payload))
         else:
